@@ -1,0 +1,47 @@
+"""Flagship PIP-join parity: Spark two-stage join == brute-force numpy oracle."""
+
+import numpy as np
+import pandas as pd
+
+from pgsql2osm_spark.functions import geometry as G
+from pgsql2osm_spark.operators import spatial_join as SJ
+from pgsql2osm_spark.sources import fixtures as FX
+
+
+def oracle_assignments(lon, lat, regions):
+    """Brute-force even-odd PIP for every (point, region) pair."""
+    out = set()
+    for reg in regions:
+        rings = FX.region_rings(reg)
+        inside = G.points_in_rings(lon, lat, rings)
+        for i in np.nonzero(inside)[0]:
+            out.add((int(i), int(reg["region_id"])))
+    return out
+
+
+def test_pip_join_matches_bruteforce_oracle(spark):
+    n = 4000
+    lon, lat = FX.gen_points_slice(0, n)
+    regions = FX.gen_admin_polygons(12)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat})
+    )
+    got = SJ.pip_join(spark, pts, regions, keep_cols=["idx"])
+    got_set = {(int(r["idx"]), int(r["region_id"])) for r in got.collect()}
+    exp_set = oracle_assignments(lon, lat, regions)
+    assert got_set == exp_set, (
+        f"missing={list(exp_set - got_set)[:5]} extra={list(got_set - exp_set)[:5]}"
+    )
+    assert len(exp_set) > 50, "fixture should produce a meaningful overlap"
+
+
+def test_bbox_prefilter_is_superset(spark):
+    n = 2000
+    lon, lat = FX.gen_points_slice(0, n)
+    regions = FX.gen_admin_polygons(8)
+    pts = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat}))
+    pre = SJ.pip_join_bbox_prefilter(pts, regions)
+    kept = {int(r["idx"]) for r in pre.select("idx").collect()}
+    exp = {i for i, _ in oracle_assignments(lon, lat, regions)}
+    assert exp <= kept
+    assert len(kept) < n  # it actually filters
