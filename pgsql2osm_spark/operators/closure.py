@@ -1,0 +1,198 @@
+"""Membership-closure operators — the reference's graph phase, Spark-first.
+
+The reference walks the OSM node/way/relation membership graph with
+client-driven indexed SQL (GIN array-overlap joins, IN-list batches,
+adaptive chunks — /root/reference/pgsql2osm/pgsql2osm.py:214-385,
+dbutils.py:66-102). Every one of those becomes a real distributed join here
+(SURVEY.md J2-J9); the entire chunking/IN-list/GIN stratum disappears.
+
+Data model: one tall membership table
+    (parent_id:long, parent_kind:string('R'|'W'),
+     members:array<struct<ref:long, role:string, type:string('N'|'W'|'R')>>)
+— the canonical form of planet_osm_ways.nodes + planet_osm_rels.members
+(README.md:207-226), and one id-set DataFrame per entity class
+(kind:string, id:long), the Spark heir of the reference's DictAccumulator
+(pgsql2osm.py:138-163).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def parents_of(
+    memberships: DataFrame,
+    seed_ids: DataFrame,
+    member_type: str,
+    parent_kind: str | None = None,
+) -> DataFrame:
+    """Reverse membership join: ids of parents containing any seed id as a
+    member of ``member_type`` — the explode + semi-join form of the
+    reference's GIN `&&` inverted-index lookup (pgsql2osm.py:236-259,
+    SURVEY.md J2/J3/J4).
+
+    seed_ids: DataFrame with column ``id``. Returns distinct parent ids as
+    column ``id``.
+    """
+    m = memberships
+    if parent_kind is not None:
+        m = m.where(F.col("parent_kind") == parent_kind)
+    edges = m.select(
+        F.col("parent_id"), F.explode("members").alias("mem")
+    ).where(F.col("mem.type") == member_type)
+    # broadcast the (typically small) seed set: the probe side is the big
+    # membership table and must not shuffle for a semi join
+    return (
+        edges.join(
+            F.broadcast(seed_ids.select(F.col("id"))),
+            edges["mem.ref"] == F.col("id"),
+            "left_semi",
+        )
+        .select(F.col("parent_id").alias("id"))
+        .distinct()
+    )
+
+
+def children_of(
+    memberships: DataFrame, parent_ids: DataFrame, parent_kind: str | None = None
+) -> DataFrame:
+    """Forward expansion: (type, id) of all members of the given parents
+    (pgsql2osm.py:292-385, SURVEY.md J5/J6). Returns (kind, id) distinct."""
+    m = memberships
+    if parent_kind is not None:
+        m = m.where(F.col("parent_kind") == parent_kind)
+    return (
+        m.join(F.broadcast(parent_ids.select(F.col("id"))),
+               m["parent_id"] == F.col("id"), "left_semi")
+        .select(F.explode("members").alias("mem"))
+        .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
+        .distinct()
+    )
+
+
+def rels_children_closure(
+    memberships: DataFrame,
+    seed_rel_ids: DataFrame,
+    only_multipolygon: bool = False,
+    without_rels: bool = False,
+    passes: int = 2,
+) -> DataFrame:
+    """Relation member expansion with bounded rel-in-rel nesting.
+
+    Exactly ``passes`` iterations (default 2) to match the reference's
+    explicit 2-pass loop — NOT a full transitive closure; parity requires
+    stopping where the reference stops (pgsql2osm.py:316, 364-365;
+    SURVEY.md X7). Flags mirror only_multipolygon_rels / without_rels
+    (pgsql2osm.py:309-313).
+
+    Returns (kind, id) for all collected members; kind 'R' rows are the
+    nested relations themselves (excluded when without_rels).
+    """
+    rels = memberships.where(F.col("parent_kind") == "R")
+    if only_multipolygon:
+        rels = rels.where(F.col("tags")["type"] == "multipolygon")
+    frontier = seed_rel_ids.select("id")
+    collected = None
+    for _ in range(passes):
+        members = (
+            rels.join(F.broadcast(frontier), rels["parent_id"] == frontier["id"], "left_semi")
+            .select(F.explode("members").alias("mem"))
+            .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
+            .distinct()
+        )
+        collected = members if collected is None else collected.unionByName(members).distinct()
+        frontier = members.where(F.col("kind") == "R").select("id")
+    out = collected
+    if without_rels:
+        out = out.where(F.col("kind") != "R")
+    return out
+
+
+def ways_children_nodes(memberships: DataFrame, way_ids: DataFrame) -> DataFrame:
+    """way -> child node ids (pgsql2osm.py:369-385, SURVEY.md J6)."""
+    return (
+        children_of(memberships, way_ids, parent_kind="W")
+        .where(F.col("kind") == "N")
+        .select("id")
+        .distinct()
+    )
+
+
+def subtract_ids(k_from: DataFrame, k_remove: DataFrame, on: str = "id") -> DataFrame:
+    """Id-set difference — the reference's all_subtract (pgsql2osm.py:158-163,
+    SURVEY.md U2/J9) as a left-anti join."""
+    return k_from.join(k_remove.select(on), on, "left_anti")
+
+
+def priority_cascade(sources: list[tuple[DataFrame, int]], id_col: str = "id") -> DataFrame:
+    """First-wins fetch cascade across prioritized sources.
+
+    The reference fetches each entity from the highest-priority table that
+    has it (polygon > line > middle), guarding with a done_ids set
+    (pgsql2osm.py:521-522, 677-678, ...; SURVEY.md J9). Declarative form:
+    union all sources with a priority rank, keep row_number()==1 per id —
+    one shuffle, no driver-side set.
+    """
+    tagged = None
+    for df, prio in sources:
+        t = df.withColumn("_prio", F.lit(prio))
+        tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
+    w = Window.partitionBy(id_col).orderBy(F.col("_prio").asc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
+def nwr_within_closure(
+    memberships: DataFrame,
+    seed_nodes: DataFrame,
+    seed_ways: DataFrame,
+    seed_rels: DataFrame,
+    only_multipolygon: bool = False,
+    without_rels: bool = False,
+) -> dict[str, DataFrame]:
+    """The reference's full 4-phase id-closure (stream_osm_xml phases
+    'within'->'children'->'parents', pgsql2osm.py:399-432) over the
+    membership table. Inputs are the three seed id-sets from the spatial
+    scan (S1-S3); output is the final id-set per entity class.
+
+    Mirrors the reference's operator order exactly:
+      children: rels -> (N, W, nested R) [2-pass], then ways -> N
+      parents:  nodes_within -> parent ways + parent rels
+    (ways_parent_r is defined-but-disabled in the reference, pgsql2osm.py:427
+    — matched by not calling parents_of(..., 'W', 'R') here.)
+    """
+    nodes_within = seed_nodes.select("id").distinct()
+
+    rel_members = rels_children_closure(
+        memberships, seed_rels, only_multipolygon=only_multipolygon, without_rels=without_rels
+    )
+    ways = (
+        seed_ways.select("id")
+        .unionByName(rel_members.where(F.col("kind") == "W").select("id"))
+        .distinct()
+    )
+    rels = seed_rels.select("id")
+    if not without_rels:
+        rels = rels.unionByName(rel_members.where(F.col("kind") == "R").select("id")).distinct()
+
+    nodes = (
+        nodes_within.unionByName(rel_members.where(F.col("kind") == "N").select("id"))
+        .unionByName(ways_children_nodes(memberships, ways))
+        .distinct()
+    )
+
+    parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W")
+    parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R")
+    ways = ways.unionByName(parent_ways).distinct()
+    if not without_rels:
+        rels = rels.unionByName(parent_rels).distinct()
+    # parents' child nodes complete the way geometries (reference re-runs
+    # ways_children_n after parent discovery via the accumulator)
+    nodes = nodes.unionByName(ways_children_nodes(memberships, parent_ways)).distinct()
+
+    return {"N": nodes, "W": ways, "R": rels}

@@ -1,0 +1,113 @@
+"""Raster<->vector tile joins — new capability per the north rule (J12).
+
+Bins decoded image pixels into web-mercator z/x/y tiles and joins them to
+vector features keyed by the same tile. The image payload is decoded ONLY
+inside this stage, Arrow batch at a time (mapInPandas), and pixels never
+cross a shuffle — only (image_id, tile key, per-tile pixel stats) rows do
+(SURVEY.md hard-part (b): never carry pixels through shuffles).
+
+The streaming-serialization spirit of the reference's XML sink
+(stream_osm_xml, /root/reference/pgsql2osm/pgsql2osm.py:437-450 — constant
+memory, unordered output) carries over: tile rows stream out of each
+partition; output order is not part of the contract (README.md:127-135).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geometry as G
+from ..functions import imaging as I
+
+TILE_STATS_SCHEMA = (
+    "image_id string, z int, x long, y long, "
+    "px_count long, mean_r double, mean_g double, mean_b double, phash long"
+)
+
+
+def image_tile_stats(images: DataFrame, z: int) -> DataFrame:
+    """Decode each image and emit one row per image with its z/x/y tile and
+    pixel statistics (the raster side of the raster<->vector join).
+
+    The image's geotag anchors it to one tile at zoom z; pixel stats come
+    from the real decode (PNG exact / lossy stand-in). mapInPandas keeps the
+    decode vectorized per Arrow batch and bounds memory via
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+
+    def decode_batches(pdf_iter):
+        for pdf in pdf_iter:
+            xt, yt = G.lonlat_to_tile(
+                pdf["lon"].to_numpy(dtype=np.float64), pdf["lat"].to_numpy(dtype=np.float64), z
+            )
+            n = len(pdf)
+            means = np.zeros((n, 3), dtype=np.float64)
+            counts = np.zeros(n, dtype=np.int64)
+            hashes = np.zeros(n, dtype=np.int64)
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                px = I.decode_image(bytes(data), fmt)
+                means[i] = px.reshape(-1, 3).mean(axis=0)
+                counts[i] = px.shape[0] * px.shape[1]
+                hashes[i] = I.phash64(px)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "z": np.int32(z),
+                    "x": xt,
+                    "y": yt,
+                    "px_count": counts,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "phash": hashes,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
+        decode_batches, TILE_STATS_SCHEMA
+    )
+
+
+def tile_key_expr(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Attach z/x/y tile columns via pure JVM math (no decode needed) — the
+    cheap path when only tile KEYS are required (e.g. joining points to
+    vector tiles without touching pixel payloads)."""
+    x, y = G.tile_expr(F.col(lon), F.col(lat), z)
+    return df.withColumn("z", F.lit(z).cast("int")).withColumn("x", x).withColumn("y", y)
+
+
+def region_tiles(regions: list[dict], z: int) -> pd.DataFrame:
+    """Vector side: tiles covered by each region polygon at zoom z (driver
+    side, broadcastable). Reuses the polygon cover machinery by rasterizing
+    cover-cell centers to tiles + direct vertex tiles."""
+    from ..sources import fixtures as FX
+
+    rows = []
+    for reg in regions:
+        rings = FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
+        rings = [np.asarray(r, dtype=np.float64) for r in rings]
+        res = G.adaptive_cover_res(rings, res_lo=max(z - 1, 1), res_hi=z + 2, target_cells=8192)
+        cells_arr, _ = G.polygon_cover(rings, res, max_cells=131072)
+        from ..functions import cells as C
+
+        clon, clat = C.cell_center(cells_arr)
+        xt, yt = G.lonlat_to_tile(clon, clat, z)
+        for vx, vy in {(int(a), int(b)) for a, b in zip(xt, yt)}:
+            rows.append((int(reg["region_id"]), np.int32(z), vx, vy))
+    return pd.DataFrame(rows, columns=["region_id", "z", "x", "y"]).drop_duplicates()
+
+
+def raster_vector_join(
+    spark, images: DataFrame, regions: list[dict], z: int, decode: bool = True
+) -> DataFrame:
+    """Equi-join decoded raster tiles with region vector tiles on (z, x, y).
+
+    decode=True runs the real pixel path; decode=False joins on tile keys
+    only (pure JVM) — the two cost tiers of SURVEY.md J12.
+    """
+    raster = image_tile_stats(images, z) if decode else tile_key_expr(images, z)
+    vec = F.broadcast(spark.createDataFrame(region_tiles(regions, z)))
+    return raster.join(vec, ["z", "x", "y"], "inner")

@@ -1,0 +1,107 @@
+"""Closure-operator parity vs a pure-Python reference implementation that
+encodes the reference engine's exact semantics (2-pass nesting, flags,
+first-wins cascade — SURVEY.md §5.5)."""
+
+from pyspark.sql import functions as F
+
+from pgsql2osm_spark.operators import closure as CL
+from pgsql2osm_spark.sources import fixtures as FX
+
+
+def _py_members(rows, parent_ids, kinds=("R", "W")):
+    out = []
+    for r in rows:
+        if r["parent_id"] in parent_ids and r["parent_kind"] in kinds:
+            out.extend(r["members"])
+    return out
+
+
+def test_parents_of_matches_python(spark):
+    rows = FX.gen_memberships()
+    mdf = FX.memberships_df(spark)
+    seed = {5, 17, 100, 250, 399}
+    seed_df = spark.createDataFrame([(i,) for i in seed], "id long")
+    got = {r["id"] for r in CL.parents_of(mdf, seed_df, "N", parent_kind="W").collect()}
+    exp = {
+        r["parent_id"]
+        for r in rows
+        if r["parent_kind"] == "W"
+        and any(m["type"] == "N" and m["ref"] in seed for m in r["members"])
+    }
+    assert got == exp
+
+
+def test_rels_children_two_pass_stops_at_depth_two(spark):
+    rows = FX.gen_memberships()
+    mdf = FX.memberships_df(spark)
+    # 9001 contains R->9005; 9005 contains a dangling way + its own members.
+    seed = spark.createDataFrame([(9001,)], "id long")
+    got = {(r["kind"], r["id"]) for r in CL.rels_children_closure(mdf, seed).collect()}
+    # python oracle: exactly two passes
+    frontier = {9001}
+    exp = set()
+    for _ in range(2):
+        mem = _py_members(rows, frontier, kinds=("R",))
+        exp |= {(m["type"], m["ref"]) for m in mem}
+        frontier = {m["ref"] for m in mem if m["type"] == "R"}
+    assert got == exp
+    assert ("R", 9005) in got  # first-level nesting collected
+
+
+def test_only_multipolygon_flag(spark):
+    rows = FX.gen_memberships()
+    mdf = FX.memberships_df(spark)
+    all_rels = spark.createDataFrame([(i,) for i in range(9001, 9009)], "id long")
+    got = {(r["kind"], r["id"]) for r in CL.rels_children_closure(mdf, all_rels, only_multipolygon=True).collect()}
+    mp = {r["parent_id"] for r in rows if r["parent_kind"] == "R" and r["tags"].get("type") == "multipolygon"}
+    exp = set()
+    frontier = mp
+    for _ in range(2):
+        mem = [m for r in rows if r["parent_id"] in frontier and r["parent_kind"] == "R"
+               and r["tags"].get("type") == "multipolygon" for m in r["members"]]
+        exp |= {(m["type"], m["ref"]) for m in mem}
+        frontier = {m["ref"] for m in mem if m["type"] == "R"}
+    assert got == exp
+
+
+def test_without_rels_excludes_rel_members(spark):
+    mdf = FX.memberships_df(spark)
+    seed = spark.createDataFrame([(9001,)], "id long")
+    got = CL.rels_children_closure(mdf, seed, without_rels=True)
+    assert got.where(F.col("kind") == "R").count() == 0
+
+
+def test_priority_cascade_first_wins(spark):
+    a = spark.createDataFrame([(1, "poly"), (2, "poly")], "id long, src string")
+    b = spark.createDataFrame([(2, "line"), (3, "line")], "id long, src string")
+    c = spark.createDataFrame([(1, "mid"), (3, "mid"), (4, "mid")], "id long, src string")
+    got = {(r["id"], r["src"]) for r in CL.priority_cascade([(a, 0), (b, 1), (c, 2)]).collect()}
+    assert got == {(1, "poly"), (2, "poly"), (3, "line"), (4, "mid")}
+
+
+def test_subtract_ids(spark):
+    a = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "id long")
+    got = sorted(r["id"] for r in CL.subtract_ids(a, b).collect())
+    assert got == [1, 3, 5, 7, 9]
+
+
+def test_full_nwr_closure_runs_and_is_consistent(spark):
+    mdf = FX.memberships_df(spark)
+    seed_n = spark.createDataFrame([(i,) for i in range(1, 50)], "id long")
+    seed_w = spark.createDataFrame([(501,), (502,)], "id long")
+    seed_r = spark.createDataFrame([(9001,), (9002,)], "id long")
+    out = CL.nwr_within_closure(mdf, seed_n, seed_w, seed_r)
+    nodes = {r["id"] for r in out["N"].collect()}
+    ways = {r["id"] for r in out["W"].collect()}
+    rels = {r["id"] for r in out["R"].collect()}
+    # every collected way's child nodes must be present (way-node
+    # reconstruction invariant, the reference's core correctness property)
+    rows = FX.gen_memberships()
+    for r in rows:
+        if r["parent_kind"] == "W" and r["parent_id"] in ways:
+            for m in r["members"]:
+                if m["type"] == "N":
+                    assert m["ref"] in nodes, f"way {r['parent_id']} missing node {m['ref']}"
+    assert {9001, 9002} <= rels
+    assert {501, 502} <= ways

@@ -1,0 +1,48 @@
+"""kNN: ring expansion must equal brute force exactly (rank-for-rank)."""
+
+import numpy as np
+import pandas as pd
+
+from pgsql2osm_spark.operators import knn as K
+from pgsql2osm_spark.sources import fixtures as FX
+
+
+def _points_df(spark, n):
+    lon, lat = FX.gen_points_slice(0, n)
+    return spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:012d}" for i in range(n)], "lon": lon, "lat": lat})
+    )
+
+
+def test_knn_rings_equals_bruteforce(spark):
+    n = 3000
+    pts = _points_df(spark, n)
+    rng = np.random.default_rng(5)
+    qlon = rng.uniform(-170, 170, 12)
+    qlat = rng.uniform(-55, 65, 12)
+    # include a metro center (dense) and a remote ocean point (sparse)
+    qlon[0], qlat[0] = 8.54, 47.37
+    qlon[1], qlat[1] = -140.0, -45.0
+    queries = pd.DataFrame({"query_id": np.arange(12), "lon": qlon, "lat": qlat})
+    k = 5
+    bf = K.knn_bruteforce(pts, spark.createDataFrame(queries), k).toPandas()
+    rings = K.knn_rings(spark, pts, queries, k).toPandas()
+    bf_set = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in bf.itertuples()}
+    ring_set = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in rings.itertuples()}
+    assert bf_set == ring_set
+
+
+def test_knn_bruteforce_against_numpy(spark):
+    from pgsql2osm_spark.functions import geometry as G
+
+    n = 800
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = _points_df(spark, n)
+    queries = pd.DataFrame({"query_id": [0, 1], "lon": [10.0, -70.0], "lat": [45.0, 40.0]})
+    got = K.knn_bruteforce(pts, spark.createDataFrame(queries), 3).toPandas()
+    for _, q in queries.iterrows():
+        d = G.haversine_m(lon, lat, q["lon"], q["lat"])
+        order = np.lexsort((np.array([f"img{i:012d}" for i in range(n)]), d))[:3]
+        exp = [f"img{i:012d}" for i in order]
+        mine = got[got["query_id"] == q["query_id"]].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == exp

@@ -1,0 +1,63 @@
+"""Raster<->vector tiling: decode stats, tile keys, region-tile joins."""
+
+import numpy as np
+
+from pgsql2osm_spark.functions import geometry as G
+from pgsql2osm_spark.functions import imaging as I
+from pgsql2osm_spark.operators import tiling as TL
+from pgsql2osm_spark.sources import fixtures as FX
+
+
+def test_image_tile_stats_golden(spark):
+    n = 24
+    images = FX.images_df(spark, n)
+    got = {r["image_id"]: r for r in TL.image_tile_stats(images, 12).collect()}
+    pdf = FX.gen_images_pandas(n, with_pixels=True)
+    for _, row in pdf.iterrows():
+        g = got[row["image_id"]]
+        xt, yt = G.lonlat_to_tile(np.array([row["lon"]]), np.array([row["lat"]]), 12)
+        assert (g["x"], g["y"]) == (xt[0], yt[0])
+        dec = I.decode_image(row["bytes"], row["fmt"])
+        assert g["px_count"] == dec.shape[0] * dec.shape[1]
+        assert abs(g["mean_r"] - dec[..., 0].mean()) < 1e-9
+        assert g["phash"] == row["phash"]
+
+
+def test_tile_key_expr_matches_numpy(spark):
+    n = 2000
+    lon, lat = FX.gen_points_slice(0, n)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"image_id": [str(i) for i in range(n)], "lon": lon, "lat": lat}))
+    rows = TL.tile_key_expr(df, 7).orderBy("image_id").collect()
+    by_id = {r["image_id"]: (r["x"], r["y"]) for r in rows}
+    xt, yt = G.lonlat_to_tile(lon, lat, 7)
+    for i in range(n):
+        assert by_id[str(i)] == (xt[i], yt[i])
+
+
+def test_raster_vector_join_assigns_only_region_tiles(spark):
+    import pandas as pd
+
+    regions = FX.gen_admin_polygons(8)
+    n = 20000
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [str(i) for i in range(n)], "lon": lon, "lat": lat})
+    )
+    joined = TL.raster_vector_join(spark, pts, regions, z=7, decode=False)
+    rows = joined.collect()
+    assert len(rows) > 100  # non-vacuous at this scale
+    vec = TL.region_tiles(regions, 7)
+    vecset = {(int(r.region_id), int(r.x), int(r.y)) for r in vec.itertuples()}
+    for r in rows:
+        assert (r["region_id"], r["x"], r["y"]) in vecset
+    # every point whose tile is a region tile must appear exactly once per region-tile
+    xt, yt = G.lonlat_to_tile(lon, lat, 7)
+    exp = sum(
+        1
+        for i in range(n)
+        for reg in {rid for rid, _, _ in vecset}
+        if (reg, int(xt[i]), int(yt[i])) in vecset
+    )
+    assert len(rows) == exp
