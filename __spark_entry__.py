@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline operator), run against /root/testdata parquet; each
+``oracle_sql()`` entry is the exact-equivalent DuckDB SQL. Spatial queries
+derive deterministic lon/lat from integer keys with pure arithmetic so the
+SQL oracle reproduces the same doubles bit-for-bit; engine-only spatial paths
+(multi-res cover, ring kNN, image decode) are registered rows-only and get
+their exact checks from tests/ golden oracles instead.
 """
 
 from __future__ import annotations
@@ -12,27 +14,679 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgsql2osm_spark.functions import cells as C
+from pgsql2osm_spark.functions import geometry as G
+
+# ---------------------------------------------------------------------------
+# Deterministic derived points (identical arithmetic in Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+_M1 = 2654435761
+_M2 = 1566083941
+_MOD = 4294967296
+
+
+def _lon_col(key):
+    return ((key * _M1) % _MOD) / float(_MOD) * 360.0 - 180.0
+
+
+def _lat_col(key):
+    return ((key * _M2 + 12345) % _MOD) / float(_MOD) * 170.0 - 85.0
+
+
+def _lon_sql(key: str) -> str:
+    return f"((({key} * {_M1}) % {_MOD}) / {_MOD}.0 * 360.0 - 180.0)"
+
+
+def _lat_sql(key: str) -> str:
+    return f"((({key} * {_M2} + 12345) % {_MOD}) / {_MOD}.0 * 170.0 - 85.0)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"), _lon_col(k).alias("lon"), _lat_col(k).alias("lat")
+    )
+
+
+_POINTS_SQL = (
+    f"SELECT c_custkey AS id, {_lon_sql('c_custkey')} AS lon, "
+    f"{_lat_sql('c_custkey')} AS lat FROM customer"
+)
+
+# Convex hexagon for the SQL-checkable PIP query (CCW vertices).
+_HEX = [
+    (35.0, 20.0),
+    (22.5, 41.65),
+    (-2.5, 41.65),
+    (-15.0, 20.0),
+    (-2.5, -1.65),
+    (22.5, -1.65),
+]
+
+
+def _table(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return load
+
+
+# ---------------------------------------------------------------------------
+# Query implementations.
+# ---------------------------------------------------------------------------
+
+
+def q_h3_encode(spark, sf_dir):
+    """S1/F1: hierarchical cell encode at res 7 and 11 (JVM bit math)."""
+    p = _points(spark, sf_dir)
+    return p.select(
+        "id",
+        C.cell_expr(F.col("lon"), F.col("lat"), 7).alias("h3_7"),
+        C.cell_expr(F.col("lon"), F.col("lat"), 11).alias("h3_11"),
+    )
+
+
+def q_tile_assign(spark, sf_dir):
+    """P2/J12: slippy z/x/y tile assignment at z=7 (JVM mercator math)."""
+    p = _points(spark, sf_dir)
+    x, y = G.tile_expr(F.col("lon"), F.col("lat"), 7)
+    return p.select("id", x.alias("tx"), y.alias("ty"))
+
+
+def q_pip_convex(spark, sf_dir):
+    """J1/X2: full two-stage PIP join against a convex hexagon boundary."""
+    from pgsql2osm_spark.operators import spatial_join as SJ
+    import numpy as np
+
+    p = _points(spark, sf_dir)
+    region = [{"region_id": 1, "rings": [np.asarray(_HEX, dtype=np.float64)]}]
+    out = SJ.pip_join(spark, p, region, keep_cols=["id"])
+    return out.select("id").orderBy("id")
+
+
+def q_knn_planar(spark, sf_dir):
+    """J11 (oracle-checkable flavor): exact k=3 NN by squared planar distance
+    from 25 nation-derived query points to customer-derived points."""
+    p = _points(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    q = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("query_id"),
+            _lon_col((F.col("n_nationkey") + 1000).cast("long")).alias("qlon"),
+            _lat_col((F.col("n_nationkey") + 1000).cast("long")).alias("qlat"),
+        )
+    )
+    j = p.crossJoin(q).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (
+            (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon"))
+            + (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_semi_join_parents(spark, sf_dir):
+    """J2/J3: reverse membership — orders containing any seed part."""
+    from pgsql2osm_spark.operators import closure as CL
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    edges = li.select(F.col("l_orderkey").alias("parent_id"), F.col("l_partkey").alias("ref"))
+    return (
+        edges.join(F.broadcast(seeds), edges["ref"] == seeds["id"], "left_semi")
+        .select(F.col("parent_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+    )
+
+
+def q_forward_expand(spark, sf_dir):
+    """J5/J6: forward membership — distinct parts of seed orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_orderkey") % 199 == 0)
+        .select(F.col("l_partkey").alias("id"))
+        .distinct()
+        .orderBy("id")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """J9/U2: customers with no orders (left-anti id subtraction)."""
+    from pgsql2osm_spark.operators import closure as CL
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("id")
+    )
+    return CL.subtract_ids(c, o).orderBy("id")
+
+
+def q_priority_cascade(spark, sf_dir):
+    """J9 cascade: nation ids sourced first-wins from customer > supplier >
+    nation (the polygon > line > middle table-priority semantics)."""
+    from pgsql2osm_spark.operators import closure as CL
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("id"), F.lit("customer").alias("src")
+    ).distinct()
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").cast("long").alias("id"), F.lit("supplier").alias("src")
+    ).distinct()
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("id"), F.lit("nation").alias("src")
+    ).distinct()
+    return CL.priority_cascade([(c, 0), (s, 1), (n, 2)]).orderBy("id")
+
+
+def q_union_distinct(spark, sf_dir):
+    """U1: distinct union of part ids from two scans."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = li.where(F.col("l_quantity") >= 49.0).select(F.col("l_partkey").alias("id"))
+    b = pt.where(F.col("p_size") >= 49).select(F.col("p_partkey").alias("id"))
+    return a.unionByName(b).distinct().orderBy("id")
+
+
+def q_grouped_counts(spark, sf_dir):
+    """A1/A2/A5: grouped aggregation with exact-representable measures."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_customers(spark, sf_dir):
+    """O2/A3: arg-max style top-10 customers by order count."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("id"))
+        .limit(10)
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    """§2.5: ranking window — first 3 orders per customer by key."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(F.col("o_custkey").alias("id"), F.col("o_orderkey").alias("okey"), "rank")
+        .orderBy("id", "rank")
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    """A-family extension: rollup counts region -> nation."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """A4/streaming-analogue: tumbling 1h buckets per event type (batch
+    form of the windowed agg; string buckets are TZ-stable)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    """Top-3 users per event type by event count (window over agg)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_doc_tokens(spark, sf_dir):
+    """Text analysis: token/stopword counts + md5 fingerprint (all JVM)."""
+    from pgsql2osm_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        TX.token_count_col().cast("long").alias("n_tokens"),
+        TX.stopword_count_col().cast("long").alias("n_stopwords"),
+        TX.fingerprint_col().alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    from pgsql2osm_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.quality_features(d).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_stopwords", "n_punct", "quality_ok"
+    ).orderBy("doc_id")
+
+
+def q_doc_langid(spark, sf_dir):
+    from pgsql2osm_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", TX.lang_id_col().alias("pred_lang")).orderBy("doc_id")
+
+
+def q_lang_quality_agg(spark, sf_dir):
+    from pgsql2osm_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = TX.quality_features(d)
+    return (
+        feats.groupBy("lang", "quality_ok")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang", "quality_ok")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup: exact (hash-groupBy) over normalized text."""
+    from pgsql2osm_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.exact_dedup(d).select("fingerprint", "doc_id", "dup_count").orderBy("doc_id")
+
+
+def q_word_jaccard(spark, sf_dir):
+    """Dedup verification: word-set Jaccard for deterministic pairs
+    (doc i vs doc i+17, same-lang only)."""
+    from pgsql2osm_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
+    pairs = a.join(b, (F.col("id_b") == F.col("id_a") + 17) & (F.col("la") == F.col("lb"))).select(
+        "id_a", "id_b"
+    )
+    return DD.word_jaccard_pairs(d, pairs).orderBy("id_a")
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search: exact brute-force cosine top-5 for 5 query vectors."""
+    from pgsql2osm_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_bruteforce(emb, queries, 5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def q_embedding_label_centroid_rank(spark, sf_dir):
+    """Grouped vector agg: per-label sizes + extremes (JVM array math)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = F.element_at("embedding", 1).cast("double")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(first).alias("min_e0"),
+            F.max(first).alias("max_e0"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- engine-only (rows-only check; exact oracles live in tests/) -----------
+
+
+def q_pip_fixture_regions(spark, sf_dir):
+    """Full spatial path on fixture images x nested fixture polygons
+    (multi-res cover, holes, boundary refine) — golden-tested in
+    tests/test_spatial_join.py; rows-only here."""
+    import pandas as pd
+
+    from pgsql2osm_spark.operators import spatial_join as SJ
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    n = 20000
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:012d}" for i in range(n)], "lon": lon, "lat": lat})
+    )
+    out = SJ.pip_join(spark, pts, FX.gen_admin_polygons(12), keep_cols=["image_id"])
+    return out.groupBy("region_id").agg(F.count(F.lit(1)).alias("n")).orderBy("region_id")
+
+
+def q_knn_rings_fixture(spark, sf_dir):
+    """Ring-expansion kNN (haversine) on fixture points — equals brute force
+    by tests/test_knn.py; rows-only here."""
+    import numpy as np
+    import pandas as pd
+
+    from pgsql2osm_spark.operators import knn as K
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    n = 5000
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:012d}" for i in range(n)], "lon": lon, "lat": lat})
+    )
+    rng = np.random.default_rng(5)
+    queries = pd.DataFrame(
+        {"query_id": np.arange(8), "lon": rng.uniform(-170, 170, 8), "lat": rng.uniform(-55, 65, 8)}
+    )
+    return K.knn_rings(spark, pts, queries, 5).select("query_id", "neighbor_id", "rank")
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """Multimodal: Arrow-batch image decode -> tile stats (PNG codec real,
+    lossy stand-in for jpeg; pixel parity golden-tested)."""
+    from pgsql2osm_spark.operators import tiling as TL
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    images = FX.images_df(spark, 256)
+    return TL.image_tile_stats(images, 12).select(
+        "image_id", "z", "x", "y", "px_count", "phash"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Dedup: MinHash+LSH near-dup candidates over documents (pytest-verified
+    against planted near-dups; rows-only here)."""
+    from pgsql2osm_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = d.limit(20).select((F.col("doc_id") + 1000000).alias("doc_id"),
+                             F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    # 8 rows/band: the synthetic docs share a 20-word vocabulary, so loose
+    # bands bucket half the corpus together; stricter bands keep candidate
+    # volume proportional to true near-dups
+    return DD.minhash_lsh_candidates(
+        d.unionByName(dup), bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark, sf_dir):
+    """Dedup: 64-bit SimHash per document, pure Spark built-ins (verified
+    against an independent numpy recomputation in tests)."""
+    from pgsql2osm_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", DD.simhash_fast_col().alias("simhash")).orderBy("doc_id")
+
+
+def q_closure_fixture(spark, sf_dir):
+    """Membership closure (2-pass nesting, parent lookup, way-node
+    reconstruction) on the typed member-graph fixture."""
+    from pgsql2osm_spark.operators import closure as CL
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    mdf = FX.memberships_df(spark)
+    out = CL.nwr_within_closure(
+        mdf,
+        spark.createDataFrame([(i,) for i in range(1, 80)], "id long"),
+        spark.createDataFrame([(505,), (510,)], "id long"),
+        spark.createDataFrame([(9001,), (9004,)], "id long"),
+    )
+    parts = [df.select(F.lit(k).alias("kind"), "id") for k, df in out.items()]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("kind", "id")
+
+
+# ---------------------------------------------------------------------------
+# Contract functions.
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: H3-encode + two-stage PIP join of derived points against a
+    boundary polygon, on sf0.001 (SURVEY.md §7 step 1)."""
+    return q_pip_convex(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "h3_encode": q_h3_encode,
+        "tile_assign": q_tile_assign,
+        "pip_convex": q_pip_convex,
+        "knn_planar": q_knn_planar,
+        "semi_join_parents": q_semi_join_parents,
+        "forward_expand": q_forward_expand,
+        "anti_join": q_anti_join,
+        "priority_cascade": q_priority_cascade,
+        "union_distinct": q_union_distinct,
+        "grouped_counts": q_grouped_counts,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "rollup_counts": q_rollup_counts,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "lang_quality_agg": q_lang_quality_agg,
+        "exact_dedup": q_exact_dedup,
+        "word_jaccard": q_word_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_label_stats": q_embedding_label_centroid_rank,
+        # engine-only paths (rows-only driver check; exact golden in tests/)
+        "pip_fixture_regions": q_pip_fixture_regions,
+        "knn_rings_fixture": q_knn_rings_fixture,
+        "image_decode_stats": q_image_decode_stats,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "closure_fixture": q_closure_fixture,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pgsql2osm_spark.operators import text as TX
+
+    pts = _POINTS_SQL
+    # half-plane conjunction for the CCW convex hexagon
+    hp = []
+    for i in range(len(_HEX)):
+        x0, y0 = _HEX[i]
+        x1, y1 = _HEX[(i + 1) % len(_HEX)]
+        hp.append(f"(({x1} - {x0}) * (lat - {y0}) - (lon - {x0}) * ({y1} - {y0}) >= 0)")
+    pip_pred = " AND ".join(hp)
+
+    tx_sql, ty_sql = G.tile_sql("lon", "lat", 7)
+    lang_parts, lang_expr = TX.lang_id_sql()
+
+    return {
+        "h3_encode": (
+            f"SELECT id, {C.cell_sql('lon', 'lat', 7)} AS h3_7, "
+            f"{C.cell_sql('lon', 'lat', 11)} AS h3_11 FROM ({pts})"
+        ),
+        "tile_assign": f"SELECT id, {tx_sql} AS tx, {ty_sql} AS ty FROM ({pts})",
+        "pip_convex": f"SELECT id FROM ({pts}) WHERE {pip_pred} ORDER BY id",
+        "knn_planar": f"""
+            WITH q AS (
+              SELECT n_nationkey AS query_id,
+                     {_lon_sql('CAST(n_nationkey + 1000 AS BIGINT)')} AS qlon,
+                     {_lat_sql('CAST(n_nationkey + 1000 AS BIGINT)')} AS qlat
+              FROM nation
+            ), d AS (
+              SELECT q.query_id, p.id AS neighbor_id,
+                     (p.lon - q.qlon) * (p.lon - q.qlon)
+                     + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+              FROM ({pts}) p CROSS JOIN q
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM d QUALIFY rank <= 3
+        """,
+        "semi_join_parents": """
+            SELECT DISTINCT l_orderkey AS id FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey % 97 = 0)
+            ORDER BY id
+        """,
+        "forward_expand": """
+            SELECT DISTINCT l_partkey AS id FROM lineitem
+            WHERE l_orderkey % 199 = 0 ORDER BY id
+        """,
+        "anti_join": """
+            SELECT c_custkey AS id FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY id
+        """,
+        "priority_cascade": """
+            WITH u AS (
+              SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS id, 'customer' AS src, 0 AS prio FROM customer
+              UNION ALL
+              SELECT DISTINCT CAST(s_nationkey AS BIGINT), 'supplier', 1 FROM supplier
+              UNION ALL
+              SELECT DISTINCT CAST(n_nationkey AS BIGINT), 'nation', 2 FROM nation
+            )
+            SELECT id, src FROM u
+            QUALIFY row_number() OVER (PARTITION BY id ORDER BY prio ASC) = 1
+            ORDER BY id
+        """,
+        "union_distinct": """
+            SELECT DISTINCT id FROM (
+              SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 49.0
+              UNION ALL
+              SELECT p_partkey FROM part WHERE p_size >= 49
+            ) ORDER BY id
+        """,
+        "grouped_counts": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   sum(l_quantity) AS sum_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "topk_customers": """
+            SELECT o_custkey AS id, count(*) AS n_orders FROM orders
+            GROUP BY 1 ORDER BY n_orders DESC, id ASC LIMIT 10
+        """,
+        "window_rank": """
+            SELECT o_custkey AS id, o_orderkey AS okey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS BIGINT) AS rank
+            FROM orders QUALIFY rank <= 3 ORDER BY id, rank
+        """,
+        "rollup_counts": """
+            SELECT r_name, n_name, count(*) AS n
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+                   count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_top_users": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, user_id, n,
+                   CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 3 ORDER BY event_type, rank
+        """,
+        "doc_tokens": (
+            f"SELECT doc_id, CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens, "
+            f"CAST({TX.stopword_count_sql()} AS BIGINT) AS n_stopwords, "
+            f"{TX.fingerprint_sql()} AS fingerprint FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality": (
+            f"SELECT doc_id, {TX.quality_sql()} FROM documents ORDER BY doc_id"
+        ),
+        "doc_langid": (
+            f"SELECT doc_id, {lang_expr} AS pred_lang FROM "
+            f"(SELECT doc_id, {', '.join(lang_parts)} FROM documents) ORDER BY doc_id"
+        ),
+        "lang_quality_agg": f"""
+            WITH f AS (
+              SELECT lang,
+                     (length(text) >= 32 AND length(text) <= 4096
+                      AND {TX.token_count_sql()} >= 8
+                      AND {TX.stopword_count_sql()} * 20 >= {TX.token_count_sql()}) AS quality_ok,
+                     CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT lang, quality_ok, count(*) AS n, sum(n_tokens) AS total_tokens
+            FROM f GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY doc_id
+        """,
+        "word_jaccard": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(a.toks || b.toks)) AS jaccard
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 17 AND a.lang = b.lang
+            ORDER BY id_a
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+            ), d AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cosine
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM d QUALIFY rank <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_label_stats": """
+            SELECT label, count(*) AS n,
+                   min(CAST(embedding[1] AS DOUBLE)) AS min_e0,
+                   max(CAST(embedding[1] AS DOUBLE)) AS max_e0
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+    }

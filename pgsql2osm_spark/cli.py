@@ -1,0 +1,106 @@
+"""CLI entry point — the spark-submit face of the engine.
+
+Mirrors the reference's CLI surface (/root/reference/pgsql2osm/cli.py:7-44:
+mutually-exclusive bounds group --iso | --geojson | --bbox, an output target,
+verbosity) re-expressed for the Spark engine:
+
+    spark-submit --py-files $(python -m pgsql2osm_spark.session zip) \
+        -m pgsql2osm_spark.cli --input points.parquet \
+        --bbox=-10,40,10,55 --out tiles_out --zoom 12
+
+Boundary selection composes exactly like the reference's make_bounds_constr
+(settings.py:90-146): a cheap bbox Column predicate AND'd ahead of the exact
+PIP join (SURVEY.md P1/X2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("pgsql2osm_spark", description=__doc__)
+    p.add_argument("--input", required=True, help="parquet/iceberg path with lon/lat columns")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--iso", help="iso code lookup against the regions dimension (S8)")
+    g.add_argument("--bbox", help="lon_min,lat_min,lon_max,lat_max")
+    g.add_argument("--geojson", help="path to a geojson polygon file (S9)")
+    p.add_argument("--out", required=True, help="output parquet dir")
+    p.add_argument("--zoom", type=int, default=12)
+    p.add_argument("--job-id", default="cli")
+    p.add_argument("--cores", default=None)
+    return p
+
+
+def _geojson_rings(path: str) -> list:
+    import numpy as np
+
+    with open(path) as f:
+        gj = json.load(f)
+    geom = gj.get("geometry", gj)
+    coords = geom["coordinates"]
+    if geom["type"] == "Polygon":
+        coords = [coords]
+    rings = []
+    for poly in coords:
+        for ring in poly:
+            rings.append(np.asarray(ring, dtype=np.float64))
+    return rings
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .functions import geometry as G
+    from .operators import spatial_join as SJ
+    from .plans import manifest as M
+    from .session import get_spark
+    from .sources import regions as RG
+
+    spark = get_spark(app="pgsql2osm_spark_cli", master=f"local[{args.cores}]" if args.cores else None)
+    pts = spark.read.parquet(args.input)
+
+    if args.bbox:
+        x0, y0, x1, y1 = (float(v) for v in args.bbox.split(","))
+        rings = [np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
+        region_list = [{"region_id": 1, "rings": rings}]
+    elif args.geojson:
+        region_list = [{"region_id": 1, "rings": _geojson_rings(args.geojson)}]
+    else:
+        dim = RG.fixture_regions_dim(spark)
+        hits = RG.regions_lookup(dim, args.iso).collect()
+        if not hits:
+            print(f"iso {args.iso!r} not found", file=sys.stderr)
+            return 2
+        # fixture dimension carries no geometry; boundary ids resolve to the
+        # fixture polygons by |osm_id| ordering (deployments swap in a real
+        # boundary table here)
+        from .sources import fixtures as FX
+
+        all_regions = FX.gen_admin_polygons(64)
+        wanted = {abs(h["osm_id"]) - 100000 for h in hits}
+        region_list = [r for r in all_regions if r["region_id"] in wanted] or all_regions[:1]
+
+    joined = SJ.pip_join(
+        spark, SJ.pip_join_bbox_prefilter(pts, region_list), region_list
+    )
+    x, y = G.tile_expr(F.col("lon"), F.col("lat"), args.zoom)
+    tiles = joined.withColumn("tx", x).withColumn("ty", y).withColumn(
+        "bucket", (F.col("tx") * (1 << args.zoom) + F.col("ty")) % 256
+    )
+    M.write_stage_with_manifest(
+        spark, tiles, args.out, job_id=args.job_id, stage="tiles", bucket_col="bucket"
+    )
+    prog = M.job_progress(spark, args.out, args.job_id).collect()
+    for row in prog:
+        print(json.dumps(row.asDict()))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,5 +44,5 @@ def entity_tags(
     merged = merge_tags(col_tags, tags)
     if not strict_reference_parity:
         return merged
-    rel_only = merge_tags(F.expr("map()"), tags)
+    rel_only = F.coalesce(elide_nulls(tags), F.expr("cast(map() as map<string,string>)"))
     return F.when(kind == F.lit("R"), rel_only).otherwise(merged)

@@ -1,0 +1,296 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+phash near-dup. Training-data pipeline first-class citizens.
+
+Scale shapes:
+* exact: one groupBy on a 128-bit fingerprint — single shuffle, map-side
+  partial agg.
+* MinHash LSH: per-doc signature (vectorized pandas UDF over shingle sets) ->
+  band keys -> explode(bands) -> groupBy band key: candidates only ever meet
+  inside a bucket, never all-pairs. The classic shingle->minhash->band->
+  bucket-join pipeline.
+* SimHash: 64-bit signed projection of token hashes, pure Spark built-ins
+  (xxhash64 + bit arithmetic via aggregate), near-dup = small hamming
+  distance within prefix buckets.
+* n-gram Jaccard: exact verification of candidate pairs via explode +
+  grouped intersection counts (pure SQL shape, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .text import fingerprint_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint.
+    Output: (doc_id, fingerprint, dup_count) for every surviving doc."""
+    fp = df.withColumn("fingerprint", fingerprint_col(text))
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH.
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
+
+
+def minhash_signature(texts: pd.Series, n_hashes: int = 64, shingle_k: int = 5) -> np.ndarray:
+    """(len(texts), n_hashes) uint64 MinHash signatures over k-char shingles.
+
+    One base hash per shingle (FNV-1a 64), then n_hashes cheap derived
+    hashes via splitmix64(base ^ seed_i) — standard one-permutation-family
+    approximation, fully vectorized per document."""
+    seeds = _splitmix64_np(np.arange(1, n_hashes + 1, dtype=np.uint64))
+    out = np.full((len(texts), n_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    fnv_prime = np.uint64(0x100000001B3)
+    for row, t in enumerate(texts):
+        b = np.frombuffer((t or "").lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            b = np.zeros(1, dtype=np.uint64)
+        k = min(shingle_k, len(b))
+        # FNV-1a over all byte shingles, vectorized across positions; the
+        # min over shingles is unaffected by duplicate shingles, so no
+        # distinct-set materialization is needed
+        n_pos = len(b) - k + 1
+        base = np.full(n_pos, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                base = (base ^ b[j : j + n_pos]) * fnv_prime
+            derived = _splitmix64_np(base[None, :] ^ seeds[:, None])
+        out[row] = derived.min(axis=1)
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    Pipeline: pandas-UDF signature -> band digest array -> explode ->
+    groupBy(band, digest) bucket join -> distinct candidate pairs (a < b).
+    Only same-bucket docs ever pair: no all-pairs blowup at scale."""
+    rows_per_band = n_hashes // bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_digests(texts: pd.Series) -> pd.Series:
+        sig = minhash_signature(texts, n_hashes, shingle_k)
+        n = len(texts)
+        digs = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            v = np.full(n, np.uint64(b), dtype=np.uint64)
+            for j in range(rows_per_band):
+                v = _splitmix64_np(v ^ sig[:, b * rows_per_band + j])
+            digs[:, b] = v.astype(np.int64)
+        return pd.Series(list(digs))
+
+    banded = df.select(
+        F.col(id_col), F.posexplode(band_digests(F.col(text))).alias("band", "digest")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pure built-ins — no Python).
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text: str = "text") -> F.Column:
+    """64-bit SimHash over whitespace tokens with xxhash64 token hashes.
+
+    For each bit position: sum(+1 if token-hash bit set else -1) > 0.
+    Expressed with aggregate() over the token array — all JVM, codegen'd."""
+    toks = F.when(
+        F.length(F.trim(F.col(text))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col(text))), "\\s+"))
+    # per-token ±1 bit vector, shift amounts unrolled as constants (Spark's
+    # shift builtins take a literal bit count, not a Column)
+    bit_vec = F.transform(
+        toks,
+        lambda t: F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        ),
+    )
+    zero = F.array_repeat(F.lit(0), 64)
+    counts = F.aggregate(bit_vec, zero, lambda acc, bits: F.zip_with(acc, bits, lambda a, d: a + d))
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)  # avoid signed-long overflow
+        out = out.bitwiseOR(
+            F.when(F.element_at(counts, i + 1) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_fast_col(text: str = "text") -> F.Column:
+    """SimHash with identical bits to simhash_col but a hybrid evaluation:
+    token hashes stay JVM-side (xxhash64), the 64-bit majority fold runs as
+    one Arrow-vectorized numpy pass. Spark's higher-order array lambdas are
+    evaluated interpreted per element, so the pure-built-in fold costs ~60
+    expression evals per token; this path is ~20x faster at equal output."""
+    toks = F.when(
+        F.length(F.trim(F.col(text))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col(text))), "\\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(T.LongType())
+    def fold(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            counts = np.where(bits == 1, 1, -1).sum(axis=0)
+            val = np.uint64(0)
+            for b in range(64):
+                if counts[b] > 0:
+                    val |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(val)
+        return pd.Series(out)
+
+    return fold(hashes)
+
+
+def simhash_near_dups(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top prefix_bits, verify
+    hamming <= max_hamming inside each bucket (bit_count is a built-in)."""
+    sh = df.select(F.col(id_col), simhash_fast_col(text).alias("simhash")).withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram (word) Jaccard verification.
+# ---------------------------------------------------------------------------
+
+
+def word_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs: |A∩B| / |A∪B|, computed
+    with array_intersect/array_union on distinct token arrays (JVM).
+    Counts are ints, the division is one double op — oracle-hash-safe."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text))), "\\s+")).alias("toks"),
+    )
+    a = toks.alias("ta")
+    b = toks.alias("tb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"ta.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"tb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding / phash near-dup.
+# ---------------------------------------------------------------------------
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 6, prefix_bits: int = 12) -> DataFrame:
+    """Near-duplicate images by perceptual hash: prefix-bucket then exact
+    hamming — same shape as simhash_near_dups but over the phash column of
+    the input_hint schema."""
+    ph = images.select("image_id", "phash").withColumn(
+        "bucket", F.shiftrightunsigned("phash", 64 - prefix_bits)
+    )
+    a, b = ph.alias("a"), ph.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .withColumn("hamming", F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col("a.image_id").alias("id_a"), F.col("b.image_id").alias("id_b"), "hamming")
+    )
+
+
+def rank_dedup_representatives(
+    df: DataFrame, group_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pick one representative per duplicate group (min id via window) —
+    mirrors the reference's first-wins done_ids semantics (SURVEY.md J9)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

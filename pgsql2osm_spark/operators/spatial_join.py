@@ -87,6 +87,7 @@ def pip_join(
     res_hi: int = 11,
     target_cells: int = 4096,
     keep_cols: list[str] | None = None,
+    cell_cols: dict[int, str] | None = None,
 ) -> DataFrame:
     """points x regions -> rows of points inside each region.
 
@@ -108,22 +109,34 @@ def pip_join(
     pip_udf = udfs.make_pip_udf(rings_bc)
     out_cols = keep_cols or [c for c in points.columns]
 
-    parts = []
-    for res in sorted(cover_pdf["res"].unique()):
-        cov = spark.createDataFrame(
-            cover_pdf.loc[cover_pdf["res"] == res, ["cell", "region_id", "is_boundary"]]
-        )
-        pts = points.withColumn("_cell", C.cell_expr(F.col(lon), F.col(lat), int(res)))
-        cand = pts.join(F.broadcast(cov), pts["_cell"] == cov["cell"], "inner")
-        interior = cand.where(~F.col("is_boundary"))
-        boundary = cand.where(F.col("is_boundary")).where(
-            pip_udf(F.col("region_id"), F.col(lon), F.col(lat))
-        )
-        parts.append(interior.unionByName(boundary).select(*out_cols, "region_id"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE scan, ONE broadcast join, ONE refine stage. Cell ids embed their
+    # resolution in the high bits, so cells at different cover resolutions
+    # never collide: exploding the (few) per-res cell ids of each point into
+    # a single join key replaces one join per res — and a union whose
+    # branches would each rescan the fact table (measured: the unioned form
+    # cost 4 source scans + 2 Python stages; this form costs 1 + 1).
+    res_list = [int(r) for r in sorted(cover_pdf["res"].unique())]
+    cov = spark.createDataFrame(cover_pdf[["cell", "region_id", "is_boundary"]])
+    # Materialize per-res cells as projected columns (single shared Morton
+    # spread at res 26, per-res shift — cells.with_cell_columns) and explode
+    # only the column references: Generate evaluates its expressions
+    # interpreted (outside whole-stage codegen), so inlining the bit-math
+    # there costs ~100x (measured 16s vs 0.14s on 2M rows).
+    cell_cols = dict(cell_cols or {})
+    missing = [r for r in res_list if r not in cell_cols]
+    probe, new_names = C.with_cell_columns(
+        points, lon, lat, missing, names=[f"_cell_r{r}" for r in missing]
+    )
+    cell_cols.update(dict(zip(missing, new_names)))
+    refs = [cell_cols[r] for r in res_list]
+    probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
+    cand = probe.join(F.broadcast(cov), probe["_cell"] == cov["cell"], "inner")
+    # interior-cell rows pass without the exact test (X2 staging); the
+    # pandas-UDF PIP runs only where a boundary cell made it ambiguous
+    kept = cand.where(
+        (~F.col("is_boundary")) | pip_udf(F.col("region_id"), F.col(lon), F.col(lat))
+    )
+    return kept.select(*out_cols, "region_id")
 
 
 def pip_join_bbox_prefilter(

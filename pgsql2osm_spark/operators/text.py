@@ -1,0 +1,158 @@
+"""Text-analysis operators over the documents table — training-data pipeline.
+
+Large-scale caption/text curation primitives (first-class per the build
+brief): token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Every operator is pure built-in Column expressions (JVM,
+whole-stage codegen — zero Python) and each has an exactly-equivalent DuckDB
+SQL emitted beside it for the driver's oracle cross-check.
+
+The reference's nearest analogue is its tag/string normalization layer
+(hstore_to_json + text member decode, /root/reference/pgsql2osm/
+pgsql2osm.py:497-501, 343-344 — SURVEY.md F2/F3): dynamic text columns
+normalized to typed values in-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the deterministic lang-ID heuristic.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "en"),
+}
+STOPWORDS = tuple(sorted({w for ws in LANG_LEXICONS.values() for w in ws}))
+
+_TOKEN_SPLIT = "\\s+"
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text (empty string -> 0 tokens)."""
+    return F.when(
+        F.length(F.trim(F.col(text))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text)), _TOKEN_SPLIT))
+
+
+def token_count_col(text: str = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def token_count_sql(text: str = "text") -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({text}), '\\s+')) END"
+    )
+
+
+def _in_list_sql(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def stopword_count_col(text: str = "text", words: tuple[str, ...] = STOPWORDS) -> Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.size(
+        F.filter(tokens_col(text), lambda t: F.lower(t).isin(*words))
+    )
+
+
+def stopword_count_sql(text: str = "text", words: tuple[str, ...] = STOPWORDS) -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 ELSE "
+        f"len(list_filter(string_split_regex(trim({text}), '\\s+'), "
+        f"x -> lower(x) IN ({_in_list_sql(words)}))) END"
+    )
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword features + a quality score.
+
+    Score (deterministic, int-ratio based so the oracle hash-matches):
+      good length (64..2048 chars) + token length sanity + stopword presence.
+    """
+    n_chars = F.length(F.col(text))
+    n_tokens = token_count_col(text)
+    n_stop = stopword_count_col(text)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text), "[\\.,;:!\\?]", ""))
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn("n_punct", n_punct.cast("long"))
+        .withColumn(
+            "quality_ok",
+            (n_chars >= 32)
+            & (n_chars <= 4096)
+            & (n_tokens >= 8)
+            & (n_stop * 20 >= n_tokens),  # >=5% stopwords — integer math only
+        )
+    )
+
+
+QUALITY_SQL_COLS = """
+    length(text) AS n_chars_calc,
+    {tok} AS n_tokens,
+    {stop} AS n_stopwords,
+    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+    (length(text) >= 32 AND length(text) <= 4096 AND {tok} >= 8
+     AND {stop} * 20 >= {tok}) AS quality_ok
+"""
+
+
+def quality_sql(text: str = "text") -> str:
+    return QUALITY_SQL_COLS.format(tok=token_count_sql(text), stop=stopword_count_sql(text))
+
+
+def lang_id_col(text: str = "text") -> Column:
+    """Deterministic language-ID heuristic: argmax of per-language stopword
+    hits, ties broken by fixed language order, 'und' (undetermined) if no
+    lexicon matches. (An n-gram model would need training data; this stays
+    deterministic and oracle-checkable.)"""
+    toks = tokens_col(text)
+
+    def score_for(ws):
+        # single-arg lambda: pyspark maps every lambda parameter to a
+        # higher-order-function variable, so the lexicon must be closed over
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*ws)))
+
+    scores = {lang: score_for(ws) for lang, ws in LANG_LEXICONS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_LEXICONS):  # fixed order: later wins only if strictly greater
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def lang_id_sql(text: str = "text") -> str:
+    parts = []
+    for lang in sorted(LANG_LEXICONS):
+        ws = LANG_LEXICONS[lang]
+        parts.append(
+            f"CASE WHEN length(trim({text})) = 0 THEN 0 ELSE "
+            f"len(list_filter(string_split_regex(trim({text}), '\\s+'), "
+            f"x -> lower(x) IN ({_in_list_sql(ws)}))) END AS score_{lang}"
+        )
+    langs = sorted(LANG_LEXICONS)
+    # same strictly-greater fold as lang_id_col
+    expr = "'und'"
+    score = "0"
+    for lang in langs:
+        expr = f"CASE WHEN score_{lang} > {score} THEN '{lang}' ELSE {expr} END"
+        score = f"CASE WHEN score_{lang} > {score} THEN score_{lang} ELSE {score} END"
+    return parts, expr
+
+
+def fingerprint_col(text: str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    identical content modulo spacing collides (the exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), "\\s+", " ")
+    return F.md5(norm)
+
+
+def fingerprint_sql(text: str = "text") -> str:
+    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"

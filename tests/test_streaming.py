@@ -1,0 +1,41 @@
+"""Streaming tile refresh: bounded replay equals the batch aggregation."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pgsql2osm_spark.functions import cells as C
+from pgsql2osm_spark.functions import geometry as G
+from pgsql2osm_spark.sources import fixtures as FX
+from pgsql2osm_spark.streaming import incremental as ST
+
+
+def test_streaming_tiles_match_batch(spark, tmp_path):
+    n = 5000
+    lon, lat = FX.gen_points_slice(0, n)
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(np.arange(n) % 600, unit="s")
+    pdf = pd.DataFrame({"ts": ts, "lon": lon, "lat": lat})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    got = ST.run_bounded_replay(
+        spark, src, str(tmp_path / "ckpt"), "stream_tiles", z=10
+    ).toPandas()
+
+    batch = spark.read.parquet(src)
+    x, y = G.tile_expr(F.col("lon"), F.col("lat"), 10)
+    exp = (
+        batch.withColumn("x", x)
+        .withColumn("y", y)
+        .withColumn("z", F.lit(10).cast("int"))
+        .withColumn("h3", C.cell_expr(F.col("lon"), F.col("lat"), 7))
+        .groupBy(F.window("ts", "5 minutes"), "z", "x", "y", "h3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    def key(df):
+        return {
+            (str(r.window["start"]), r.z, r.x, r.y, r.h3): r.n for r in df.itertuples()
+        }
+    assert key(got) == key(exp)
+    assert len(got) > 100
