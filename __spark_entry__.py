@@ -454,6 +454,63 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", DD.simhash_fast_col().alias("simhash")).orderBy("doc_id")
 
 
+def q_s2_encode(spark, sf_dir):
+    """F1: s2-style cube-face cell encode (numpy pandas UDF; trig-based so
+    no bit-exact SQL oracle — cross-checked by tests/test_cells.py)."""
+    from pgsql2osm_spark.functions import udfs
+
+    p = _points(spark, sf_dir)
+    s2 = udfs.make_s2_udf(16)
+    return p.select("id", s2(F.col("lon"), F.col("lat")).alias("s2_16")).orderBy("id")
+
+
+def q_export_pipeline(spark, sf_dir):
+    """Full reference lifecycle on the fixture graph: spatial seed ->
+    nwr closure -> attribute cascade -> tag merge -> export rows with
+    coordinate inner-join (SURVEY.md §3 phases within/children/parents/write;
+    golden-tested in tests/test_attributes.py + test_closure.py)."""
+    import pandas as pd
+
+    from pgsql2osm_spark.operators import attributes as AT
+    from pgsql2osm_spark.operators import closure as CL
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    mdf = FX.memberships_df(spark)
+    out = CL.nwr_within_closure(
+        mdf,
+        spark.createDataFrame([(i,) for i in range(1, 120)], "id long"),
+        spark.createDataFrame([(503,), (507,)], "id long"),
+        spark.createDataFrame([(9001,), (9002,), (9006,)], "id long"),
+    )
+    # attribute sources derived from the membership fixture's tag maps
+    parents = mdf.select(
+        F.col("parent_kind").alias("kind"),
+        F.col("parent_id").alias("id"),
+        F.create_map(F.lit("fixture"), F.lit("1")).alias("col_tags"),
+        F.col("tags"),
+    )
+    nodes = (
+        spark.range(1, 400)
+        .select(
+            F.lit("N").alias("kind"),
+            F.col("id"),
+            F.create_map(F.lit("ele"), (F.col("id") % 100).cast("string")).alias("col_tags"),
+            F.when(F.col("id") % 7 == 0, F.create_map(F.lit("amenity"), F.lit("bench")))
+            .otherwise(F.lit(None))
+            .cast("map<string,string>")
+            .alias("tags"),
+        )
+    )
+    lon, lat = FX.gen_points_slice(0, 400)
+    coords = spark.createDataFrame(
+        pd.DataFrame({"id": range(1, 401), "lon": lon, "lat": lat})
+    )
+    rows = AT.export_rows(out, [(parents, 0), (nodes, 1)], coordinates=coords)
+    return rows.select(
+        "kind", "id", F.size("tags").alias("n_tags"), "lon", "lat"
+    ).orderBy("kind", "id")
+
+
 def q_closure_fixture(spark, sf_dir):
     """Membership closure (2-pass nesting, parent lookup, way-node
     reconstruction) on the typed member-graph fixture."""
@@ -517,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "closure_fixture": q_closure_fixture,
+        "s2_encode": q_s2_encode,
+        "export_pipeline": q_export_pipeline,
     }
 
 

@@ -126,7 +126,9 @@ def subtract_ids(k_from: DataFrame, k_remove: DataFrame, on: str = "id") -> Data
     return k_from.join(k_remove.select(on), on, "left_anti")
 
 
-def priority_cascade(sources: list[tuple[DataFrame, int]], id_col: str = "id") -> DataFrame:
+def priority_cascade(
+    sources: list[tuple[DataFrame, int]], id_col: str | list[str] = "id"
+) -> DataFrame:
     """First-wins fetch cascade across prioritized sources.
 
     The reference fetches each entity from the highest-priority table that
@@ -139,7 +141,8 @@ def priority_cascade(sources: list[tuple[DataFrame, int]], id_col: str = "id") -
     for df, prio in sources:
         t = df.withColumn("_prio", F.lit(prio))
         tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
-    w = Window.partitionBy(id_col).orderBy(F.col("_prio").asc())
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").asc())
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
