@@ -129,8 +129,8 @@ def main():
 Headline: images/sec through H3-encode (res 7-11, JVM bit math) + two-stage
 broadcast PIP join (12 nested regions) + tile-assign (z12) + per-tile agg,
 on {BENCH_N:,} synthetic skewed points (FIXTURES.md), same input at both
-parallelism levels (sandbox stand-in for N vs 4N executors; best of 3
-trials per level). Pair local[{lo_cores}]/local[{SCALE_HI}] chosen because
+parallelism levels (sandbox stand-in for N vs 4N executors; best of 4 trials
+per level). Pair local[{lo_cores}]/local[{SCALE_HI}] chosen because
 this sandbox carries a persistent ~7-core external background load
 (loadavg ~7 with no local processes) that corrupts measurements above ~24
 threads — see bench.py SCALE_LO/SCALE_HI.
