@@ -454,6 +454,22 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", DD.simhash_fast_col().alias("simhash")).orderBy("doc_id")
 
 
+def q_regions_lookup(spark, sf_dir):
+    """S8: iso-code -> region dimension lookup (regions.csv analogue;
+    substring/exact semantics tested in tests/test_tags_regions.py)."""
+    from pgsql2osm_spark.sources import regions as RG
+
+    dim = RG.fixture_regions_dim(spark, 64)
+    parts = [
+        RG.regions_lookup(dim, iso).withColumn("query", F.lit(iso))
+        for iso in ("za", "zb-02", "zc")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query", "osm_id")
+
+
 def q_s2_encode(spark, sf_dir):
     """F1: s2-style cube-face cell encode (numpy pandas UDF; trig-based so
     no bit-exact SQL oracle — cross-checked by tests/test_cells.py)."""
@@ -576,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_fixture": q_closure_fixture,
         "s2_encode": q_s2_encode,
         "export_pipeline": q_export_pipeline,
+        "regions_lookup": q_regions_lookup,
     }
 
 

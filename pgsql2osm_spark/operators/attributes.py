@@ -73,9 +73,12 @@ def export_rows(
     rows = fetch_attributes(id_sets, sources, strict_reference_parity)
     if coordinates is None:
         return rows
-    nodes = rows.where(F.col("kind") == "N").join(
-        coordinates.select("id", "lon", "lat"), "id", "inner"
+    # lat/lon rounded to 10 decimals on output — reference parity trap
+    # (pgsql2osm.py:780-782, SURVEY.md §5.5 / F4)
+    coords = coordinates.select(
+        "id", F.round("lon", 10).alias("lon"), F.round("lat", 10).alias("lat")
     )
+    nodes = rows.where(F.col("kind") == "N").join(coords, "id", "inner")
     others = (
         rows.where(F.col("kind") != "N")
         .withColumn("lon", F.lit(None).cast("double"))

@@ -1,0 +1,43 @@
+"""Table source resolution — the reference's catalog autodetection, Spark-side.
+
+The reference discovers its five tables at runtime by suffix match + arg-max
+table size over the Postgres catalog (/root/reference/pgsql2osm/
+settings.py:42-74, SURVEY.md S6) and detects the middle-table dialect by
+column type counts (settings.py:76-86). In the new engine the catalog IS the
+schema authority:
+
+* Iceberg when a catalog is configured (the north rule's target substrate —
+  hidden partitioning on the cell column gives partition pruning for free);
+* plain parquet directories otherwise (this sandbox ships no Iceberg runtime
+  jar — verified: /opt/spark/jars has none — so parquet is the tested path).
+
+One canonical schema replaces the jsonb/text[] dialect branch entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_table(spark: SparkSession, name: str, base: str | None = None) -> DataFrame:
+    """Resolve `name` to a DataFrame: catalog table if it exists, else
+    `{base}/{name}.parquet`. The arg-max-by-size disambiguation of the
+    reference is unnecessary — names are canonical here."""
+    try:
+        if spark.catalog.tableExists(name):
+            return spark.read.table(name)
+    except Exception:
+        pass
+    if base is None:
+        raise ValueError(f"table {name!r} not in catalog and no base dir given")
+    return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, fmt: str = "parquet"
+) -> None:
+    """Cell-partitioned write — with Iceberg this would be hidden
+    partitioning (`PARTITIONED BY (bucket(N, cell))`); the parquet fallback
+    uses explicit directory partitioning, same pruning effect for equality
+    predicates on the partition column."""
+    df.write.mode("overwrite").partitionBy(partition_col).format(fmt).save(path)
