@@ -105,3 +105,77 @@ def test_full_nwr_closure_runs_and_is_consistent(spark):
                     assert m["ref"] in nodes, f"way {r['parent_id']} missing node {m['ref']}"
     assert {9001, 9002} <= rels
     assert {501, 502} <= ways
+
+
+def test_closure_property_random_graphs(spark):
+    """Property: for random membership graphs, the Spark closure equals a
+    pure-python model of the reference's exact 4-phase semantics."""
+    import numpy as np
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        rows = []
+        rels = list(range(9000, 9000 + int(rng.integers(3, 8))))
+        ways = list(range(500, 500 + int(rng.integers(5, 15))))
+        for rel in rels:
+            members = []
+            for _ in range(int(rng.integers(1, 5))):
+                t = rng.choice(["N", "W", "R"], p=[0.3, 0.5, 0.2])
+                ref = (
+                    int(rng.integers(1, 200)) if t == "N"
+                    else int(rng.choice(ways)) if t == "W"
+                    else int(rng.choice(rels))
+                )
+                members.append({"ref": ref, "role": "outer", "type": str(t)})
+            rows.append({"parent_id": rel, "parent_kind": "R",
+                         "members": members, "tags": {"type": "multipolygon"}})
+        for way in ways:
+            nodes = rng.integers(1, 200, size=int(rng.integers(2, 6)))
+            rows.append({"parent_id": way, "parent_kind": "W",
+                         "members": [{"ref": int(x), "role": "", "type": "N"} for x in nodes],
+                         "tags": {}})
+        data = [(r["parent_id"], r["parent_kind"],
+                 [(m["ref"], m["role"], m["type"]) for m in r["members"]], r["tags"])
+                for r in rows]
+        mdf = spark.createDataFrame(data, FX.MEMBER_SCHEMA)
+
+        seed_n = sorted(rng.choice(200, size=20, replace=False).tolist())
+        seed_w = [ways[0]]
+        seed_r = [rels[0]]
+
+        got = CL.nwr_within_closure(
+            mdf,
+            spark.createDataFrame([(int(i),) for i in seed_n], "id long"),
+            spark.createDataFrame([(int(i),) for i in seed_w], "id long"),
+            spark.createDataFrame([(int(i),) for i in seed_r], "id long"),
+        )
+        got_sets = {k: {r["id"] for r in df.collect()} for k, df in got.items()}
+
+        # python model of the reference's phase order
+        def members_of(pid, kind):
+            return [m for r in rows if r["parent_id"] == pid and r["parent_kind"] == kind
+                    for m in r["members"]]
+
+        nodes_within = set(seed_n)
+        exp_w, exp_r, exp_n = set(seed_w), set(seed_r), set(seed_n)
+        frontier = set(seed_r)
+        rel_members = set()
+        for _ in range(2):  # 2-pass nesting
+            mem = [m for pid in frontier for m in members_of(pid, "R")]
+            rel_members |= {(m["type"], m["ref"]) for m in mem}
+            frontier = {m["ref"] for m in mem if m["type"] == "R"}
+        exp_w |= {i for t, i in rel_members if t == "W"}
+        exp_r |= {i for t, i in rel_members if t == "R"}
+        exp_n |= {i for t, i in rel_members if t == "N"}
+        exp_n |= {m["ref"] for w in exp_w for m in members_of(w, "W") if m["type"] == "N"}
+        parent_w = {r["parent_id"] for r in rows if r["parent_kind"] == "W"
+                    and any(m["type"] == "N" and m["ref"] in nodes_within for m in r["members"])}
+        parent_r = {r["parent_id"] for r in rows if r["parent_kind"] == "R"
+                    and any(m["type"] == "N" and m["ref"] in nodes_within for m in r["members"])}
+        exp_w |= parent_w
+        exp_r |= parent_r
+        exp_n |= {m["ref"] for w in parent_w for m in members_of(w, "W") if m["type"] == "N"}
+
+        assert got_sets["N"] == exp_n, f"seed {seed} N"
+        assert got_sets["W"] == exp_w, f"seed {seed} W"
+        assert got_sets["R"] == exp_r, f"seed {seed} R"

@@ -39,3 +39,26 @@ def test_streaming_tiles_match_batch(spark, tmp_path):
         }
     assert key(got) == key(exp)
     assert len(got) > 100
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """Duplicate image_ids across micro-batch files are emitted exactly once
+    (applyInPandasWithState custom stateful operator)."""
+    import numpy as np
+
+    from pgsql2osm_spark.streaming import stateful as SF
+
+    n = 800
+    lon, lat = FX.gen_points_slice(0, n)
+    ids = [f"img{i % 500:06d}" for i in range(n)]  # 300 duplicate ids
+    pdf = pd.DataFrame({"image_id": ids, "lon": lon, "lat": lat})
+    src = str(tmp_path / "dsrc")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1,
+    # duplicates split across batches to exercise cross-batch state
+    spark.createDataFrame(pdf.iloc[:400]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[400:]).coalesce(1).write.mode("append").parquet(src)
+
+    out = SF.run_dedup_replay(spark, src, str(tmp_path / "dckpt"), "dedup_out").toPandas()
+    assert len(out) == 500  # every distinct id exactly once
+    assert out["image_id"].is_unique
+    assert set(out["image_id"]) == set(ids)
