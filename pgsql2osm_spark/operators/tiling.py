@@ -100,6 +100,91 @@ def region_tiles(regions: list[dict], z: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["region_id", "z", "x", "y"]).drop_duplicates()
 
 
+THUMB_SCHEMA = "image_id string, w int, h int, fmt string, thumb binary"
+
+
+def thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
+    """Multimodal resize op: decode -> deterministic area-mean resize ->
+    re-encode PNG, Arrow batch at a time. Real end to end (PNG codec is
+    real; 'jpeg' rows decode through the documented lossy stand-in)."""
+    import pandas as pd
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            thumbs = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = I.decode_image(bytes(data), fmt)
+                small = np.stack(
+                    [I._mean_pool_to(px[..., c].astype(np.float64), size) for c in range(3)],
+                    axis=-1,
+                )
+                thumbs.append(I.png_encode(np.clip(small, 0, 255).astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": np.int32(size),
+                    "h": np.int32(size),
+                    "fmt": "png",
+                    "thumb": thumbs,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id string, frame_idx int, frame binary"
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Multimodal frame-sample op for video payloads.
+
+    The Spark-side plumbing (schema, mapInPandas batching, partitioning) is
+    real; the video DECODER is a stub — no video codec ships in this
+    container. fmt='fakevideo' payloads (concatenated PNG frames with a
+    4-byte count header) decode for real, so the operator is fully tested;
+    any other fmt raises NotImplementedError at the decode seam."""
+    import pandas as pd
+    import struct
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "fakevideo":
+                    raise NotImplementedError(
+                        f"fmt={fmt!r}: plug a real video decoder in here; only the "
+                        "deterministic 'fakevideo' container decodes in this sandbox"
+                    )
+                buf = bytes(data)
+                (n_frames,) = struct.unpack(">I", buf[:4])
+                pos = 4
+                for i in range(n_frames):
+                    (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                    frame = buf[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if i % every_n == 0:
+                        out_ids.append(mid)
+                        out_idx.append(np.int32(i))
+                        out_frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(run, FRAME_SCHEMA)
+
+
+def pack_fakevideo(frames: list[np.ndarray]) -> bytes:
+    """Build a deterministic 'fakevideo' container (PNG frame sequence)."""
+    import struct
+
+    parts = [struct.pack(">I", len(frames))]
+    for f in frames:
+        enc = I.png_encode(f)
+        parts.append(struct.pack(">I", len(enc)))
+        parts.append(enc)
+    return b"".join(parts)
+
+
 def raster_vector_join(
     spark, images: DataFrame, regions: list[dict], z: int, decode: bool = True
 ) -> DataFrame:

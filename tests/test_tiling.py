@@ -61,3 +61,39 @@ def test_raster_vector_join_assigns_only_region_tiles(spark):
         if (reg, int(xt[i]), int(yt[i])) in vecset
     )
     assert len(rows) == exp
+
+
+def test_thumbnails_real_resize(spark):
+    images = FX.images_df(spark, 12)
+    out = {r["image_id"]: r for r in TL.thumbnails(images, size=8).collect()}
+    pdf = FX.gen_images_pandas(12, with_pixels=True)
+    for _, row in pdf.iterrows():
+        t = out[row["image_id"]]
+        px = I.png_decode(bytes(t["thumb"]))
+        assert px.shape == (8, 8, 3)
+        # thumbnail mean tracks source mean (area-mean pooling property)
+        src = I.decode_image(row["bytes"], row["fmt"])
+        assert abs(px.mean() - src.mean()) < 3.0
+
+
+def test_frame_sample_fakevideo_and_stub(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(25)]
+    payload = TL.pack_fakevideo(frames)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["vid0"], "bytes": [payload], "fmt": ["fakevideo"]})
+    )
+    out = TL.frame_sample(media, every_n=10).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [("vid0", 0), ("vid0", 10), ("vid0", 20)]
+    # sampled frames decode back bit-exactly
+    assert (I.png_decode(bytes(out[1]["frame"])) == frames[10]).all()
+    # real-codec stub seam raises cleanly
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["v1"], "bytes": [b"xx"], "fmt": ["mp4"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|fakevideo"):
+        TL.frame_sample(bad).collect()
