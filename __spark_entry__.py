@@ -82,13 +82,11 @@ def _table(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def q_h3_encode(spark, sf_dir):
-    """S1/F1: hierarchical cell encode at res 7 and 11 (JVM bit math)."""
+    """S1/F1: hierarchical cell encode at res 7 and 11 via the production
+    shared-spread path (one Morton spread at res 26, shift-derived)."""
     p = _points(spark, sf_dir)
-    return p.select(
-        "id",
-        C.cell_expr(F.col("lon"), F.col("lat"), 7).alias("h3_7"),
-        C.cell_expr(F.col("lon"), F.col("lat"), 11).alias("h3_11"),
-    )
+    out, names = C.with_cell_columns(p, "lon", "lat", [7, 11], names=["h3_7", "h3_11"])
+    return out.select("id", *names)
 
 
 def q_tile_assign(spark, sf_dir):
@@ -281,6 +279,45 @@ def q_events_top_users(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .orderBy("event_type", "rank")
     )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session; per-user session
+    counts + max session length (lag + cumulative-sum window pattern)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        # parquet reads as TIMESTAMP_NTZ (no long cast); epoch seconds via
+        # unix_timestamp under the session's pinned UTC
+        "tsec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("tsec").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("tsec").over(w_user)
+    gapped = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("tsec") - prev > 1800), 1).otherwise(0).cast("long"),
+    )
+    sess = gapped.withColumn("sess_id", F.sum("new_sess").over(w_user))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_phash_near_dups(spark, sf_dir):
+    """Image near-dup by perceptual hash on fixture images with a planted
+    duplicate (prefix-bucket + exact hamming)."""
+    from pgsql2osm_spark.operators import dedup as DD
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    images = FX.images_df(spark, 128)
+    dup = images.limit(4).withColumn("image_id", F.concat(F.lit("dup_"), F.col("image_id")))
+    return DD.phash_near_dups(images.unionByName(dup), max_hamming=2).orderBy("id_a", "id_b")
 
 
 def q_doc_tokens(spark, sf_dir):
@@ -575,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
+        "events_sessions": q_events_sessions,
+        "phash_near_dups": q_phash_near_dups,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -702,6 +741,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, n,
                    CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank
             FROM c QUALIFY rank <= 3 ORDER BY event_type, rank
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+              FROM events
+            ), l AS (
+              SELECT user_id, event_id, tsec,
+                     lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) AS prev
+              FROM g
+            ), s AS (
+              SELECT user_id, event_id,
+                     SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) AS sess_id
+              FROM l
+            ), per AS (
+              SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+            FROM per GROUP BY 1 ORDER BY 1
         """,
         "doc_tokens": (
             f"SELECT doc_id, CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens, "
