@@ -397,6 +397,45 @@ def q_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Similarity scale path: IVF inverted-list ANN (seeded codebook,
+    n_probe lists, exact re-rank) — recall-tested vs brute force in
+    tests/test_text_dedup_sim.py; rows-only here (approximate by design)."""
+    from pgsql2osm_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(spark, emb, queries, 5, dim=64, n_centroids=16, n_probe=6)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_streaming_tiles(spark, sf_dir):
+    """Structured Streaming path: bounded replay of the events-as-points
+    stream through the watermarked tile aggregation (equals the batch agg —
+    tests/test_streaming.py); rows-only here."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from pgsql2osm_spark.sources import fixtures as FX
+    from pgsql2osm_spark.streaming import incremental as ST
+
+    n = 4000
+    lon, lat = FX.gen_points_slice(0, n)
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(np.arange(n) % 900, unit="s")
+    work = tempfile.mkdtemp(prefix="stream_q_")
+    spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "lon": lon, "lat": lat})
+    ).repartition(4).write.mode("overwrite").parquet(f"{work}/src")
+    out = ST.run_bounded_replay(spark, f"{work}/src", f"{work}/ckpt", "q_stream_tiles", z=9)
+    return out.select(
+        F.col("window.start").cast("string").alias("w_start"), "z", "x", "y", "h3", "n"
+    ).orderBy("w_start", "x", "y")
+
+
 def q_embedding_label_centroid_rank(spark, sf_dir):
     """Grouped vector agg: per-label sizes + extremes (JVM array math)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -621,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "word_jaccard": q_word_jaccard,
         "cosine_topk": q_cosine_topk,
+        "ann_ivf": q_ann_ivf,
+        "streaming_tiles": q_streaming_tiles,
         "embedding_label_stats": q_embedding_label_centroid_rank,
         # engine-only paths (rows-only driver check; exact golden in tests/)
         "pip_fixture_regions": q_pip_fixture_regions,

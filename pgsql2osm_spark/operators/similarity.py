@@ -131,6 +131,64 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: seeded random centroids partition the corpus into
+    inverted lists; queries probe their n_probe nearest centroids and re-rank
+    exactly inside those lists.
+
+    The centroid set is deterministic (no k-means iterations — at 10^12 rows
+    a sampled/random codebook is the standard bootstrap; swap in trained
+    centroids without touching the dataflow). Corpus assignment is one
+    pandas-UDF pass; the probe join is a broadcast equi-join on centroid id —
+    same scale shape as the cell-cover spatial join (SURVEY.md J1).
+    """
+    cents = _hyperplanes(dim, n_centroids, seed + 1)  # unit-ish random codebook
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_udf(n_best: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sim = m @ cents.T
+            top = np.argsort(-sim, axis=1)[:, :n_best]
+            return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+        return assign
+
+    c = corpus.withColumn("_list", assign_udf(1)(F.col(vec_col))[0])
+    q = queries.withColumn("_probes", assign_udf(n_probe)(F.col(vec_col)))
+    probe = q.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec"), F.explode("_probes").alias("_list")
+    )
+    cand = c.join(F.broadcast(probe), "_list", "inner").select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        (
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.98,

@@ -159,3 +159,18 @@ def test_simhash_fast_equals_builtin(spark):
     ).collect()
     for r in both:
         assert r["slow"] == r["fast"], r["doc_id"]
+
+
+def test_ivf_topk_recall_and_self_match(spark):
+    emb = spark.read.parquet(EMB)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk_bruteforce(emb, queries, 5).toPandas()
+    approx = SIM.ivf_topk(spark, emb, queries, 5, dim=64, n_centroids=16, n_probe=6).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+    self_hits = {(r.query_id, r.neighbor_id) for r in approx.itertuples() if r.rank == 1}
+    assert self_hits == {(q, q) for q in range(8)}  # own list always probed
