@@ -61,7 +61,7 @@ def headline_pipeline(spark, n_rows: int, n_parts: int):
     return tiles.groupBy("region_id", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
 
 
-def run_headline(master_cores: int, n_rows: int, trials: int = 4) -> dict:
+def _one_headline_session(master_cores: int, n_rows: int, trials: int) -> float:
     from pgsql2osm_spark.session import get_spark
 
     spark = get_spark(
@@ -76,22 +76,33 @@ def run_headline(master_cores: int, n_rows: int, trials: int = 4) -> dict:
     # warm up JIT/codegen + python workers + the broadcast path
     headline_pipeline(spark, 50_000, master_cores).count()
     best = float("inf")
-    n_tiles = 0
     for _ in range(trials):
         # chunky tasks: per-task Python-runner overhead dominates small
         # tasks, so partition count tracks cores, not a multiple of them
         out = headline_pipeline(spark, n_rows, master_cores)
         t0 = time.perf_counter()
-        n_tiles = out.count()
+        out.count()
         best = min(best, time.perf_counter() - t0)
     spark.stop()
-    return {
-        "cores": master_cores,
+    return best
+
+
+def run_scaling_pair(lo_cores: int, hi_cores: int, n_rows: int, rounds: int = 3) -> tuple[dict, dict]:
+    """Interleave lo/hi measurement sessions (A/B/A/B...) so both parallelism
+    levels sample the same external-load profile — the sandbox's background
+    load drifts on a minutes timescale, and measuring lo entirely before hi
+    was observed to swing the efficiency ratio 0.66..0.87."""
+    best = {lo_cores: float("inf"), hi_cores: float("inf")}
+    for _ in range(rounds):
+        for cores in (lo_cores, hi_cores):
+            best[cores] = min(best[cores], _one_headline_session(cores, n_rows, trials=2))
+    mk = lambda cores: {
+        "cores": cores,
         "rows": n_rows,
-        "sec": best,
-        "images_per_sec": n_rows / best,
-        "out_tiles": n_tiles,
+        "sec": best[cores],
+        "images_per_sec": n_rows / best[cores],
     }
+    return mk(lo_cores), mk(hi_cores)
 
 
 def run_query_suite(sf_dir: str) -> dict[str, float]:
@@ -115,8 +126,7 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
 
 def main():
     lo_cores = SCALE_LO
-    res_lo = run_headline(lo_cores, BENCH_N)
-    res_hi = run_headline(SCALE_HI, BENCH_N)
+    res_lo, res_hi = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
     efficiency = res_hi["images_per_sec"] / (4.0 * res_lo["images_per_sec"])
     queries = run_query_suite(SF_DIR)
 
@@ -129,7 +139,7 @@ def main():
 Headline: images/sec through H3-encode (res 7-11, JVM bit math) + two-stage
 broadcast PIP join (12 nested regions) + tile-assign (z12) + per-tile agg,
 on {BENCH_N:,} synthetic skewed points (FIXTURES.md), same input at both
-parallelism levels (sandbox stand-in for N vs 4N executors; best of 4 trials
+parallelism levels (sandbox stand-in for N vs 4N executors; best over 3 interleaved A/B rounds x 2 trials
 per level). Pair local[{lo_cores}]/local[{SCALE_HI}] chosen because
 this sandbox carries a persistent ~7-core external background load
 (loadavg ~7 with no local processes) that corrupts measurements above ~24
