@@ -285,9 +285,12 @@ def q_events_sessions(spark, sf_dir):
     """Sessionization: gap > 30 min starts a new session; per-user session
     counts + max session length (lag + cumulative-sum window pattern)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        # parquet reads as TIMESTAMP_NTZ (no long cast); epoch seconds via
-        # unix_timestamp under the session's pinned UTC
-        "tsec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+        # parquet reads as TIMESTAMP_NTZ; wall-clock seconds via
+        # timestampdiff from the NTZ epoch — session-timezone-FREE, so the
+        # result matches DuckDB's naive epoch() whatever TZ the driver's
+        # session uses
+        "tsec",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
     )
     w_user = Window.partitionBy("user_id").orderBy(
         F.col("tsec").asc(), F.col("event_id").asc()
