@@ -258,6 +258,36 @@ def adaptive_cover_res(
     return res_lo
 
 
+def pack_rings(rings: list[np.ndarray]) -> bytes:
+    """Serialize a ring set to bytes — the engine's WKB analogue (SURVEY.md
+    §1.2: exact geometry as BinaryType on the polygon side). Layout:
+    uint32 ring count, then per ring uint32 vertex count + float64 lon/lat
+    pairs. Ragged nested arrays don't survive Arrow->pandas conversion in
+    pyspark, so geometry always travels as this flat binary column."""
+    import struct
+
+    parts = [struct.pack("<I", len(rings))]
+    for r in rings:
+        r = np.ascontiguousarray(np.asarray(r, dtype=np.float64))
+        parts.append(struct.pack("<I", r.shape[0]))
+        parts.append(r.tobytes())
+    return b"".join(parts)
+
+
+def unpack_rings(blob: bytes) -> list[np.ndarray]:
+    import struct
+
+    (n,) = struct.unpack_from("<I", blob, 0)
+    pos = 4
+    rings = []
+    for _ in range(n):
+        (nv,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        rings.append(np.frombuffer(blob, dtype=np.float64, count=nv * 2, offset=pos).reshape(nv, 2))
+        pos += nv * 16
+    return rings
+
+
 def polygon_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
     allv = np.vstack([np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3])
     return float(allv[:, 0].min()), float(allv[:, 1].min()), float(allv[:, 0].max()), float(allv[:, 1].max())

@@ -139,6 +139,100 @@ def pip_join(
     return kept.select(*out_cols, "region_id")
 
 
+REGIONS_DF_SCHEMA = "region_id long, wkb binary"
+COVER_DF_SCHEMA = "region_id long, res int, cell long, is_boundary boolean"
+
+
+def regions_to_df(spark: SparkSession, regions: list[dict]) -> DataFrame:
+    """Lift a driver-side region list into the distributed representation
+    used by the partitioned join path: geometry packed to a binary column
+    (geometry.pack_rings — the WKB analogue; ragged nested arrays don't
+    survive pyspark's Arrow->pandas conversion)."""
+    rows = [
+        (
+            int(reg["region_id"]),
+            G.pack_rings(FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]),
+        )
+        for reg in regions
+    ]
+    return spark.createDataFrame(rows, REGIONS_DF_SCHEMA)
+
+
+def build_cover_df(regions_df: DataFrame, res_lo: int = 7, res_hi: int = 11,
+                   target_cells: int = 4096) -> DataFrame:
+    """Distributed cover build: one mapInPandas pass over the region table —
+    each region's cover is independent, so this scales with #regions instead
+    of living on the driver (the large-boundary-set path)."""
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            for rid, blob in zip(pdf["region_id"], pdf["wkb"]):
+                rings_np = G.unpack_rings(bytes(blob))
+                res = G.adaptive_cover_res(rings_np, res_lo, res_hi, target_cells)
+                cells_arr, is_bnd = G.polygon_cover(rings_np, res, max_cells=target_cells * 16)
+                yield pd.DataFrame(
+                    {
+                        "region_id": np.int64(rid),
+                        "res": np.int32(res),
+                        "cell": cells_arr,
+                        "is_boundary": is_bnd,
+                    }
+                )
+
+    return regions_df.mapInPandas(gen, COVER_DF_SCHEMA)
+
+
+def pip_join_partitioned(
+    spark: SparkSession,
+    points: DataFrame,
+    regions_df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_lo: int = 7,
+    res_hi: int = 11,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shuffle-partitioned PIP join — the fallback when the region set is too
+    large to broadcast (SURVEY.md J1 'range-partitioned fallback').
+
+    Same two-stage semantics as pip_join, different physical strategy:
+      cover built distributed (build_cover_df), candidates via a cell-keyed
+      shuffle join (AQE picks SMJ/SHJ; with a cell-bucketed fact table this
+      becomes co-located), exact refine via applyInPandas grouped by region —
+      each group carries its own rings through the join, no driver state,
+      no broadcast of geometry.
+    """
+    out_cols = keep_cols or list(points.columns)
+    cover = build_cover_df(regions_df, res_lo, res_hi)
+    res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
+
+    probe, names = C.with_cell_columns(
+        points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]
+    )
+    probe = probe.withColumn("_cell", F.explode(F.array(*names))).drop(*names)
+    cand = probe.join(cover.select("cell", "region_id", "is_boundary"),
+                      probe["_cell"] == F.col("cell"), "inner")
+
+    interior = cand.where(~F.col("is_boundary")).select(*out_cols, "region_id")
+    boundary = cand.where(F.col("is_boundary")).join(regions_df, "region_id")
+
+    carry = list(dict.fromkeys([*out_cols, lon, lat]))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in boundary.select(*carry, "region_id").schema.fields
+    )
+
+    def refine(key, pdf):
+        rings_np = G.unpack_rings(bytes(pdf["wkb"].iloc[0]))
+        inside = G.points_in_rings(
+            pdf[lon].to_numpy(dtype=np.float64), pdf[lat].to_numpy(dtype=np.float64), rings_np
+        )
+        return pdf.loc[inside, [*carry, "region_id"]]
+
+    refined = boundary.groupBy("region_id").applyInPandas(refine, out_schema)
+    return interior.unionByName(refined.select(*out_cols, "region_id"))
+
+
 def pip_join_bbox_prefilter(
     points: DataFrame, regions: list[dict], lon: str = "lon", lat: str = "lat"
 ) -> DataFrame:

@@ -83,3 +83,22 @@ def test_split_hot_cells(spark):
     before = df.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     after = out.groupBy("cell_split").count().agg(F.max("count")).collect()[0][0]
     assert after < before
+
+
+def test_cell_partitioned_write_prunes_scan(spark, tmp_path):
+    """Writing partitioned by a (coarse) cell column yields partition-pruned
+    scans for cell-equality predicates — the parquet stand-in for Iceberg
+    hidden partitioning (sources/tables.py)."""
+    from pgsql2osm_spark.sources import tables as TB
+
+    df = _pts(spark, 3000).withColumn("cell4", F.shiftrightunsigned(F.col("cell"), 0))
+    path = str(tmp_path / "bycell")
+    TB.write_partitioned(df.drop("cell"), path, "cell4")
+    back = spark.read.parquet(path)
+    one_cell = [r["cell4"] for r in back.select("cell4").distinct().limit(1).collect()][0]
+    q = back.where(F.col("cell4") == one_cell)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell4" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the partition's rows
+    exp = df.where(F.col("cell4") == one_cell).count()
+    assert q.count() == exp

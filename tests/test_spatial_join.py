@@ -45,3 +45,18 @@ def test_bbox_prefilter_is_superset(spark):
     exp = {i for i, _ in oracle_assignments(lon, lat, regions)}
     assert exp <= kept
     assert len(kept) < n  # it actually filters
+
+
+def test_partitioned_pip_join_equals_broadcast_path(spark):
+    """The shuffle-partitioned fallback produces exactly the same assignment
+    set as the broadcast path (and the brute-force oracle)."""
+    n = 4000
+    lon, lat = FX.gen_points_slice(0, n)
+    regions = FX.gen_admin_polygons(12)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat})
+    )
+    regions_df = SJ.regions_to_df(spark, regions)
+    got = SJ.pip_join_partitioned(spark, pts, regions_df, keep_cols=["idx"])
+    got_set = {(int(r["idx"]), int(r["region_id"])) for r in got.collect()}
+    assert got_set == oracle_assignments(lon, lat, regions)
