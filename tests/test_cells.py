@@ -98,3 +98,18 @@ def test_s2_face_coverage():
     s = C.s2_encode(lon, lat, 16)
     faces = np.unique(np.asarray(s).astype(np.uint64) >> np.uint64(60))
     assert set(faces.tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_with_cell_columns_matches_numpy(spark):
+    """The shared-spread multi-res path (bench + pip_join production path)
+    is bit-identical to the per-res numpy kernel, poles/antimeridian incl."""
+    n = 8000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    lon[:4] = [-180.0, 180.0, 0.0, 179.999999]
+    lat[:4] = [-90.0, 90.0, 0.0, 89.999999]
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    out, names = C.with_cell_columns(df, "lon", "lat", [7, 9, 11, 26])
+    got = out.toPandas()
+    for r, nm in zip([7, 9, 11, 26], names):
+        assert (got[nm].to_numpy() == C.cell_encode(lon, lat, r)).all(), f"res {r}"

@@ -46,3 +46,22 @@ def test_knn_bruteforce_against_numpy(spark):
         exp = [f"img{i:012d}" for i in order]
         mine = got[got["query_id"] == q["query_id"]].sort_values("rank")["neighbor_id"].tolist()
         assert mine == exp
+
+
+def test_knn_rings_polar_and_sparse(spark):
+    """Ring-expansion stays exact where the lon-direction distance bound
+    degenerates (high latitude) and in empty-ocean regions."""
+    n = 2500
+    pts = _points_df(spark, n)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "lon": [5.0, -140.0, 170.0],
+            "lat": [82.0, -58.0, 71.5],  # near-polar, sparse, high-lat
+        }
+    )
+    bf = K.knn_bruteforce(pts, spark.createDataFrame(queries), 4).toPandas()
+    rings = K.knn_rings(spark, pts, queries, 4).toPandas()
+    b = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in bf.itertuples()}
+    g = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in rings.itertuples()}
+    assert b == g
