@@ -255,6 +255,17 @@ def q_rollup_counts(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """A-family extension: CUBE over (returnflag, linestatus) — all grouping
+    sets with exact measures."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """A4/streaming-analogue: tumbling 1h buckets per event type (batch
     form of the windowed agg; string buckets are TZ-stable)."""
@@ -652,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
         "events_sessions": q_events_sessions,
@@ -772,6 +784,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, n_name, count(*) AS n
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "events_hourly": """
             SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour_bucket,

@@ -17,6 +17,14 @@ from-scratch implementations:
   the exact PIP refine entirely — the engine's version of the reference's
   "AND of ST_Intersects beats ST_Intersection, cost 1000x lower" staging
   (settings.py:132-140, SURVEY.md X2).
+
+Geometry conventions (matching the reference's planar lon/lat model):
+all polygon math is planar over (lon, lat) degrees; rings must NOT cross
+the antimeridian — split such polygons into a lon<=180 and a lon>=-180
+part first (the reference inherits the same convention from PostGIS
+geometry-type, non-geography columns). Points exactly ON a ring edge are
+measure-zero and may land on either side (same as ST_Intersects edge
+behavior differences between engines).
 """
 
 from __future__ import annotations

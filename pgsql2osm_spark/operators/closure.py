@@ -174,28 +174,31 @@ def nwr_within_closure(
     rel_members = rels_children_closure(
         memberships, seed_rels, only_multipolygon=only_multipolygon, without_rels=without_rels
     )
+    parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W")
+    parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R")
+
+    # union everything per entity class FIRST, distinct ONCE — each distinct
+    # is a shuffle; chaining union/distinct pairs doubles the shuffle count
+    # for no semantic gain at any scale
     ways = (
         seed_ways.select("id")
         .unionByName(rel_members.where(F.col("kind") == "W").select("id"))
+        .unionByName(parent_ways)
         .distinct()
     )
     rels = seed_rels.select("id")
     if not without_rels:
-        rels = rels.unionByName(rel_members.where(F.col("kind") == "R").select("id")).distinct()
-
+        rels = (
+            rels.unionByName(rel_members.where(F.col("kind") == "R").select("id"))
+            .unionByName(parent_rels)
+            .distinct()
+        )
     nodes = (
         nodes_within.unionByName(rel_members.where(F.col("kind") == "N").select("id"))
+        # child nodes of ALL collected ways (incl. parents') complete the way
+        # geometries — the reference achieves this via its accumulator re-run
         .unionByName(ways_children_nodes(memberships, ways))
         .distinct()
     )
-
-    parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W")
-    parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R")
-    ways = ways.unionByName(parent_ways).distinct()
-    if not without_rels:
-        rels = rels.unionByName(parent_rels).distinct()
-    # parents' child nodes complete the way geometries (reference re-runs
-    # ways_children_n after parent discovery via the accumulator)
-    nodes = nodes.unionByName(ways_children_nodes(memberships, parent_ways)).distinct()
 
     return {"N": nodes, "W": ways, "R": rels}
