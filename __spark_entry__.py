@@ -450,6 +450,17 @@ def q_streaming_tiles(spark, sf_dir):
     ).orderBy("w_start", "x", "y")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH self-join + exact filter) with
+    planted duplicate vectors."""
+    from pgsql2osm_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.limit(10).select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    out = SIM.embedding_near_dups(emb.unionByName(dup), threshold=0.999, n_planes=10)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def q_embedding_label_centroid_rank(spark, sf_dir):
     """Grouped vector agg: per-label sizes + extremes (JVM array math)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard": q_word_jaccard,
         "cosine_topk": q_cosine_topk,
         "ann_ivf": q_ann_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
         "streaming_tiles": q_streaming_tiles,
         "embedding_label_stats": q_embedding_label_centroid_rank,
         # engine-only paths (rows-only driver check; exact golden in tests/)

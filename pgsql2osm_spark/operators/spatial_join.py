@@ -96,6 +96,11 @@ def pip_join(
     in the reference's relation hierarchy).
     """
     cover_pdf, rings_by_region = build_cover(regions, res_lo, res_hi, target_cells)
+    if len(cover_pdf) > 2_000_000:
+        raise ValueError(
+            f"cover has {len(cover_pdf):,} cells — too large to broadcast; "
+            "use pip_join_partitioned (the shuffle fallback) for this region set"
+        )
     if cover_pdf.empty:
         out_cols = keep_cols or list(points.columns)
         return (
