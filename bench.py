@@ -87,7 +87,7 @@ def _one_headline_session(master_cores: int, n_rows: int, trials: int) -> float:
     return best
 
 
-def run_scaling_pair(lo_cores: int, hi_cores: int, n_rows: int, rounds: int = 3) -> tuple[dict, dict]:
+def run_scaling_pair(lo_cores: int, hi_cores: int, n_rows: int, rounds: int = 2) -> tuple[dict, dict]:
     """Interleave lo/hi measurement sessions (A/B/A/B...) so both parallelism
     levels sample the same external-load profile — the sandbox's background
     load drifts on a minutes timescale, and measuring lo entirely before hi

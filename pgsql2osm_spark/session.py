@@ -17,16 +17,31 @@ from pyspark.sql import SparkSession
 
 def make_pyfiles_zip(dest: str | None = None) -> str:
     """Zip this package for spark-submit --py-files / addPyFile shipment —
-    the deployment unit the north rule's multi-executor run uses."""
+    the deployment unit the north rule's multi-executor run uses.
+
+    No-ops (returns the existing zip) when the package was itself imported
+    FROM a zip: os.walk can't see into zipimport paths, and overwriting the
+    shipped zip with an empty one would break every later import."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     dest = dest or os.path.join(tempfile.gettempdir(), "pgsql2osm_spark_pyfiles.zip")
-    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, _, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(dirpath, f)
-                    zf.write(full, os.path.relpath(full, root))
+    if not os.path.isdir(pkg_dir):  # zipimported — pkg_dir is inside a zip
+        if os.path.exists(dest):
+            return dest
+        raise RuntimeError("package imported from a zip and no prebuilt pyfiles zip found")
+    entries = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                entries.append((full, os.path.relpath(full, root)))
+    if not entries:
+        raise RuntimeError(f"no .py files under {pkg_dir}")
+    tmp = dest + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full, rel in entries:
+            zf.write(full, rel)
+    os.replace(tmp, dest)  # atomic — readers never see a partial zip
     return dest
 
 
