@@ -50,7 +50,7 @@ def _geojson_rings(path: str) -> list:
     return rings
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
     args = build_parser().parse_args(argv)
     import numpy as np
     from pyspark.sql import functions as F
@@ -61,7 +61,11 @@ def main(argv=None) -> int:
     from .session import get_spark
     from .sources import regions as RG
 
-    spark = get_spark(app="pgsql2osm_spark_cli", master=f"local[{args.cores}]" if args.cores else None)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(
+            app="pgsql2osm_spark_cli", master=f"local[{args.cores}]" if args.cores else None
+        )
     pts = spark.read.parquet(args.input)
 
     if args.bbox:
@@ -98,7 +102,8 @@ def main(argv=None) -> int:
     prog = M.job_progress(spark, args.out, args.job_id).collect()
     for row in prog:
         print(json.dumps(row.asDict()))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
