@@ -19,10 +19,10 @@ from-scratch implementations:
   (settings.py:132-140, SURVEY.md X2).
 
 Geometry conventions (matching the reference's planar lon/lat model):
-all polygon math is planar over (lon, lat) degrees; rings must NOT cross
-the antimeridian — split such polygons into a lon<=180 and a lon>=-180
-part first (the reference inherits the same convention from PostGIS
-geometry-type, non-geography columns). Points exactly ON a ring edge are
+all polygon math is planar over (lon, lat) degrees. Rings that cross the
+antimeridian (consecutive lon jump > 180) are split automatically by
+``normalize_rings`` (Sutherland-Hodgman clip against the +/-180 planes) —
+both join paths normalize on entry. Points exactly ON a ring edge are
 measure-zero and may land on either side (same as ST_Intersects edge
 behavior differences between engines).
 """
@@ -264,6 +264,62 @@ def adaptive_cover_res(
         if est <= target_cells:
             return res
     return res_lo
+
+
+def _clip_halfplane(ring: np.ndarray, axis_val: float, keep_le: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of a ring against lon <= axis_val (keep_le)
+    or lon >= axis_val. Returns the clipped ring (possibly empty)."""
+    out = []
+    n = ring.shape[0]
+    for i in range(n):
+        cur = ring[i]
+        prv = ring[i - 1]
+        cur_in = (cur[0] <= axis_val) if keep_le else (cur[0] >= axis_val)
+        prv_in = (prv[0] <= axis_val) if keep_le else (prv[0] >= axis_val)
+        if cur_in != prv_in:
+            t = (axis_val - prv[0]) / (cur[0] - prv[0])
+            out.append([axis_val, prv[1] + t * (cur[1] - prv[1])])
+        if cur_in:
+            out.append([cur[0], cur[1]])
+    return np.asarray(out, dtype=np.float64) if len(out) >= 3 else np.empty((0, 2))
+
+
+def normalize_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Split antimeridian-crossing rings into in-range parts.
+
+    A ring 'crosses' when consecutive vertices jump more than 180 deg of
+    longitude (the standard encoding of a crossing in [-180,180] data).
+    The ring is unwrapped to a continuous lon domain, then clipped against
+    the +/-180 planes; the out-of-range part is shifted back by 360. Even-odd
+    PIP over the union of parts equals PIP over the original spherical ring
+    (crossing counts are additive over disjoint ring pieces), so holes and
+    multipolygons need no special casing."""
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if r.shape[0] < 3:
+            continue
+        dlon = np.abs(np.diff(np.concatenate([r[:, 0], r[:1, 0]])))
+        if (dlon <= 180.0).all():
+            out.append(r)
+            continue
+        unwrapped = r.copy()
+        unwrapped[:, 0] = np.unwrap(r[:, 0], period=360.0)
+        # center the unwrapped span so it straddles one boundary only
+        mid = (unwrapped[:, 0].min() + unwrapped[:, 0].max()) / 2.0
+        shift = 360.0 * np.round((mid - 0.0) / 360.0)
+        unwrapped[:, 0] -= shift
+        lo, hi = unwrapped[:, 0].min(), unwrapped[:, 0].max()
+        boundary = 180.0 if hi > 180.0 else -180.0
+        keep = _clip_halfplane(unwrapped, boundary, keep_le=(boundary == 180.0))
+        spill = _clip_halfplane(unwrapped, boundary, keep_le=(boundary != 180.0))
+        if keep.shape[0] >= 3:
+            out.append(keep)
+        if spill.shape[0] >= 3:
+            spill = spill.copy()
+            spill[:, 0] += -360.0 if boundary == 180.0 else 360.0
+            out.append(spill)
+    return out
 
 
 def pack_rings(rings: list[np.ndarray]) -> bytes:

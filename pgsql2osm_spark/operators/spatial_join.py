@@ -48,7 +48,7 @@ def build_cover(regions: list[dict], res_lo: int = 7, res_hi: int = 11, target_c
     rings_by_region: dict[int, list[np.ndarray]] = {}
     for reg in regions:
         rings = FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
-        rings = [np.asarray(r, dtype=np.float64) for r in rings]
+        rings = G.normalize_rings([np.asarray(r, dtype=np.float64) for r in rings])
         rid = int(reg["region_id"])
         rings_by_region[rid] = rings
         res = G.adaptive_cover_res(rings, res_lo, res_hi, target_cells)
@@ -156,7 +156,11 @@ def regions_to_df(spark: SparkSession, regions: list[dict]) -> DataFrame:
     rows = [
         (
             int(reg["region_id"]),
-            G.pack_rings(FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]),
+            G.pack_rings(
+                G.normalize_rings(
+                    FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
+                )
+            ),
         )
         for reg in regions
     ]
@@ -246,8 +250,10 @@ def pip_join_bbox_prefilter(
     boundary-AND-bbox predicate (settings.py:132-140, SURVEY.md P1)."""
     cond = None
     for reg in regions:
-        rings = FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
-        x0, y0, x1, y1 = G.polygon_bbox([np.asarray(r) for r in rings])
+        rings = G.normalize_rings(
+            [np.asarray(r) for r in (FX.region_rings(reg) if "outer_rings" in reg else reg["rings"])]
+        )
+        x0, y0, x1, y1 = G.polygon_bbox(rings)
         c = (
             (F.col(lon) >= x0)
             & (F.col(lon) <= x1)

@@ -88,7 +88,7 @@ def region_tiles(regions: list[dict], z: int) -> pd.DataFrame:
     rows = []
     for reg in regions:
         rings = FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
-        rings = [np.asarray(r, dtype=np.float64) for r in rings]
+        rings = G.normalize_rings([np.asarray(r, dtype=np.float64) for r in rings])
         res = G.adaptive_cover_res(rings, res_lo=max(z - 1, 1), res_hi=z + 2, target_cells=8192)
         cells_arr, _ = G.polygon_cover(rings, res, max_cells=131072)
         from ..functions import cells as C

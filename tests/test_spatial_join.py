@@ -60,3 +60,41 @@ def test_partitioned_pip_join_equals_broadcast_path(spark):
     got = SJ.pip_join_partitioned(spark, pts, regions_df, keep_cols=["idx"])
     got_set = {(int(r["idx"]), int(r["region_id"])) for r in got.collect()}
     assert got_set == oracle_assignments(lon, lat, regions)
+
+
+def test_antimeridian_crossing_region(spark):
+    """A region written across the antimeridian (lon jump > 180) is split
+    automatically; PIP agrees with the shifted-space oracle on both sides."""
+    from pgsql2osm_spark.functions import geometry as G
+
+    # rectangle from lon 170 to -170 (i.e. 170..190), lat 10..20
+    ring = np.array([[170.0, 10.0], [-170.0, 10.0], [-170.0, 20.0], [170.0, 20.0]])
+    region = [{"region_id": 9, "rings": [ring]}]
+
+    rng2 = np.random.default_rng(21)
+    lon = np.concatenate([rng2.uniform(160, 180, 300), rng2.uniform(-180, -160, 300)])
+    lat = rng2.uniform(5, 25, 600)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(600), "lon": lon, "lat": lat})
+    )
+    got = {r["idx"] for r in SJ.pip_join(spark, pts, region, keep_cols=["idx"]).collect()}
+    # shifted-space oracle: move everything into [0, 360)
+    slon = np.where(lon < 0, lon + 360.0, lon)
+    expected = {
+        int(i)
+        for i in np.nonzero((slon >= 170) & (slon <= 190) & (lat >= 10) & (lat <= 20))[0]
+    }
+    assert got == expected
+    # partitioned path agrees too
+    got2 = {
+        r["idx"]
+        for r in SJ.pip_join_partitioned(
+            spark, pts, SJ.regions_to_df(spark, region), keep_cols=["idx"]
+        ).collect()
+    }
+    assert got2 == expected
+    # normalize_rings itself: two parts, each within [-180, 180]
+    parts = G.normalize_rings([ring])
+    assert len(parts) == 2
+    for p in parts:
+        assert p[:, 0].min() >= -180.0 and p[:, 0].max() <= 180.0
