@@ -102,3 +102,39 @@ def test_cell_partitioned_write_prunes_scan(spark, tmp_path):
     # pruned read returns exactly the partition's rows
     exp = df.where(F.col("cell4") == one_cell).count()
     assert q.count() == exp
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the cell key join with NO Exchange on either
+    side — the co-located join strategy for repeatedly-joined 100TB tables
+    (SURVEY.md §4 'bucketing for co-located joins')."""
+    import shutil
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"pts_bucketed_{suffix}", f"attrs_bucketed_{suffix}"
+    df = _pts(spark, 2000)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(8, "cell")
+        .sortBy("cell")
+        .saveAsTable(ta)
+    )
+    attrs = df.select("cell").distinct().withColumn("weight", F.lit(1))
+    (
+        attrs.write.mode("overwrite")
+        .bucketBy(8, "cell")
+        .sortBy("cell")
+        .saveAsTable(tb)
+    )
+    a = spark.table(ta)
+    b = spark.table(tb)
+    # force SMJ (broadcast would win on this tiny dim and hide the point):
+    # bucketed layout means NO shuffle exchange on either join side
+    joined = a.join(b.hint("merge"), "cell")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    assert "SortMergeJoin" in plan
+    assert joined.count() == 2000
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
