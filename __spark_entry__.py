@@ -137,8 +137,6 @@ def q_knn_planar(spark, sf_dir):
 
 def q_semi_join_parents(spark, sf_dir):
     """J2/J3: reverse membership — orders containing any seed part."""
-    from pgsql2osm_spark.operators import closure as CL
-
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     seeds = (
         spark.read.parquet(f"{sf_dir}/part.parquet")
