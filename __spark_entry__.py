@@ -332,6 +332,56 @@ def q_phash_near_dups(spark, sf_dir):
     return DD.phash_near_dups(images.unionByName(dup), max_hamming=2).orderBy("id_a", "id_b")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator Spark lacks): for each order, the user's
+    latest event at-or-before the order date — events as the build side
+    keyed by user, orders as probes keyed by custkey%150."""
+    from pgsql2osm_spark.operators import temporal as TP
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("tsec"),
+        F.col("event_id"),
+    )
+    # dedup equal (user, tsec) build rows deterministically (max event_id)
+    e = e.groupBy("user_id", "tsec").agg(F.max("event_id").alias("event_id"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("pid"),
+        (F.col("o_custkey") % 150).cast("long").alias("user_id"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).alias("tsec"),
+    )
+    out = TP.asof_join(o, e, key="user_id", time_col="tsec",
+                       build_cols=["event_id"], probe_id="pid")
+    # no-match encoded as -1: NULL/NaN round-trips are hash-fragile across
+    # engines; -1 is unambiguous (tsec and event_id are non-negative)
+    return out.select(
+        "pid",
+        "user_id",
+        F.coalesce("asof_ts", F.lit(-1)).alias("asof_ts"),
+        F.coalesce("event_id", F.lit(-1)).alias("event_id"),
+    ).orderBy("pid")
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (custom operator Spark lacks): order totalprice within
+    part-derived [lo, hi) price bands — bucketed two-stage, exact BETWEEN."""
+    from pgsql2osm_spark.operators import temporal as TP
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_partkey") % 53 == 0)
+    intervals = p.select(
+        F.col("p_partkey").alias("iv_id"),
+        (F.col("p_retailprice") * 100.0).alias("lo"),
+        (F.col("p_retailprice") * 100.0 + 5000.0).alias("hi"),
+    )
+    probe = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("pid"), F.col("o_totalprice").alias("value")
+    )
+    out = TP.range_join(probe, intervals, value_col="value", step=2500.0)
+    return out.select("pid", "iv_id").orderBy("pid", "iv_id")
+
+
 def q_doc_tokens(spark, sf_dir):
     """Text analysis: token/stopword counts + md5 fingerprint (all JVM)."""
     from pgsql2osm_spark.operators import text as TX
@@ -677,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_sessions": q_events_sessions,
         "phash_near_dups": q_phash_near_dups,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -831,6 +883,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "asof_join": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                     max(event_id) AS event_id
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT o_orderkey AS pid,
+                     CAST(o_custkey % 150 AS BIGINT) AS user_id,
+                     CAST(floor(epoch(o_orderdate)) AS BIGINT) AS tsec
+              FROM orders
+            )
+            SELECT p.pid, p.user_id,
+                   coalesce(b.tsec, -1) AS asof_ts,
+                   coalesce(b.event_id, -1) AS event_id
+            FROM p ASOF LEFT JOIN b
+              ON p.user_id = b.user_id AND p.tsec >= b.tsec
+            ORDER BY pid
+        """,
+        "range_join": """
+            SELECT o.o_orderkey AS pid, p.p_partkey AS iv_id
+            FROM orders o
+            JOIN (SELECT p_partkey, p_retailprice * 100.0 AS lo,
+                         p_retailprice * 100.0 + 5000.0 AS hi
+                  FROM part WHERE p_partkey % 53 = 0) p
+              ON o.o_totalprice BETWEEN p.lo AND p.hi
+            ORDER BY pid, iv_id
         """,
         "doc_tokens": (
             f"SELECT doc_id, CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens, "
