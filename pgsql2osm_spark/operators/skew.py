@@ -4,6 +4,12 @@ Dense metro cells concentrate a huge share of rows on a few cell keys. Two
 explicit mitigations, both plain DataFrame rewrites (no Catalyst rules),
 layered on top of AQE's runtime skew-join splitting:
 
+WHEN TO USE (measured, BENCH/PLANS.md): only for holistic aggregations
+(exact median/percentile, collect_list) and skewed shuffle joins — measured
+1.46x on a holistic agg. Algebraic aggregations (count/sum/avg/stddev) are
+already neutralized by map-side partial aggregation; splitting them is pure
+overhead (measured 2x SLOWER). Let AQE handle join skew first.
+
 * ``salted_repartition`` — repartition on (cell, salt) so one hot cell
   spreads across ``n_salts`` partitions. Joins against per-cell dimensions
   replicate the dimension across salts (classic salt-and-replicate).
