@@ -545,6 +545,25 @@ def q_pip_fixture_regions(spark, sf_dir):
     return out.groupBy("region_id").agg(F.count(F.lit(1)).alias("n")).orderBy("region_id")
 
 
+def q_pip_partitioned_fixture(spark, sf_dir):
+    """Shuffle-partitioned PIP fallback (unbroadcastable region sets) on the
+    fixture points — exact-equal to the broadcast path per
+    tests/test_spatial_join.py; rows-only here."""
+    import pandas as pd
+
+    from pgsql2osm_spark.operators import spatial_join as SJ
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    n = 20000
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:012d}" for i in range(n)], "lon": lon, "lat": lat})
+    )
+    rdf = SJ.regions_to_df(spark, FX.gen_admin_polygons(12))
+    out = SJ.pip_join_partitioned(spark, pts, rdf, keep_cols=["image_id"])
+    return out.groupBy("region_id").agg(F.count(F.lit(1)).alias("n")).orderBy("region_id")
+
+
 def q_knn_rings_fixture(spark, sf_dir):
     """Ring-expansion kNN (haversine) on fixture points — equals brute force
     by tests/test_knn.py; rows-only here."""
@@ -742,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_centroid_rank,
         # engine-only paths (rows-only driver check; exact golden in tests/)
         "pip_fixture_regions": q_pip_fixture_regions,
+        "pip_partitioned_fixture": q_pip_partitioned_fixture,
         "knn_rings_fixture": q_knn_rings_fixture,
         "image_decode_stats": q_image_decode_stats,
         "minhash_pairs": q_minhash_pairs,

@@ -89,3 +89,35 @@ def test_haversine_known_values():
     assert G.haversine_m(0, 0, 0, 0) == 0
     d = G.haversine_m(8.54, 47.37, -74.0, 40.7)
     assert 6.2e6 < d < 6.45e6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    west=st.floats(100, 179, allow_nan=False),
+    width=st.floats(5, 80, allow_nan=False),
+    lat0=st.floats(-60, 50, allow_nan=False),
+    h=st.floats(2, 25, allow_nan=False),
+)
+def test_normalize_rings_antimeridian_property(west, width, lat0, h):
+    """Random rectangles crossing the antimeridian: PIP over the split parts
+    equals the shifted-space oracle everywhere."""
+    east = west + width  # may exceed 180 -> crossing
+    ring = np.array(
+        [
+            [west, lat0],
+            [((east + 180) % 360) - 180, lat0],
+            [((east + 180) % 360) - 180, lat0 + h],
+            [west, lat0 + h],
+        ]
+    )
+    crosses = east > 180
+    parts = G.normalize_rings([ring])
+    r2 = np.random.default_rng(int(west * 100) % 2**31)
+    lon = r2.uniform(-180, 180, 400)
+    lat = r2.uniform(lat0 - 5, lat0 + h + 5, 400)
+    got = G.points_in_rings(lon, lat, parts)
+    slon = np.where(lon < west - 1e-12, lon + 360.0, lon)
+    exp = (slon >= west) & (slon <= east) & (lat >= lat0) & (lat <= lat0 + h)
+    if not crosses:
+        exp = (lon >= west) & (lon <= east) & (lat >= lat0) & (lat <= lat0 + h)
+    assert (got == exp).all(), f"west={west} width={width} diffs={np.sum(got != exp)}"
