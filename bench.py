@@ -10,7 +10,7 @@ and to BENCH/BASELINE.md.
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir for the query suite (default sf0.1)
   SPARK_GRAFT_CPUS     cores for the full-suite session (default 32)
-  SPARK_GRAFT_BENCH_N  headline pipeline row count (default 2,000,000)
+  SPARK_GRAFT_BENCH_N  headline pipeline row count (default 500,000,000)
 """
 
 from __future__ import annotations
@@ -139,7 +139,7 @@ def main():
 Headline: images/sec through H3-encode (res 7-11, JVM bit math) + two-stage
 broadcast PIP join (12 nested regions) + tile-assign (z12) + per-tile agg,
 on {BENCH_N:,} synthetic skewed points (FIXTURES.md), same input at both
-parallelism levels (sandbox stand-in for N vs 4N executors; best over 3 interleaved A/B rounds x 2 trials
+parallelism levels (sandbox stand-in for N vs 4N executors; best over 2 interleaved A/B rounds x 2 trials
 per level). Pair local[{lo_cores}]/local[{SCALE_HI}] chosen because
 this sandbox carries a persistent ~7-core external background load
 (loadavg ~7 with no local processes) that corrupts measurements above ~24
@@ -161,7 +161,8 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
 """
         )
     result = {
-        "metric": "images_per_sec_h3_pip_tile",
+        "metric": "headline_h3_pip_tile_wall_sec_at_4N",  # value is SECONDS per the
+        # driver contract (unit: sec); throughput lives in images_per_sec_{lo,hi}
         "value": round(res_hi["sec"], 3),
         "unit": "sec",
         "queries": queries,

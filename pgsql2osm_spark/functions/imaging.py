@@ -181,19 +181,25 @@ _DCT_M = np.cos(np.pi / _PH_N * (np.arange(_PH_N)[:, None] + 0.5) * np.arange(_P
 
 
 def _mean_pool_to(img: np.ndarray, size: int) -> np.ndarray:
-    """Deterministic area-mean resize of a (h, w) float image to (size, size)."""
+    """Deterministic area-mean resize of a (h, w) float image to (size, size).
+
+    Degenerate (empty) blocks occur when a dimension is SMALLER than the
+    target — there each block clamps to at least one source pixel
+    (nearest-neighbor upsampling) instead of silently averaging nothing to 0."""
     h, w = img.shape
     ye = (np.arange(size + 1) * h) // size
     xe = (np.arange(size + 1) * w) // size
+    ys0 = np.minimum(ye[:-1], h - 1)
+    xs0 = np.minimum(xe[:-1], w - 1)
+    ys1 = np.clip(np.maximum(ye[1:], ys0 + 1), 1, h)
+    xs1 = np.clip(np.maximum(xe[1:], xs0 + 1), 1, w)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = np.cumsum(np.cumsum(img, axis=0), axis=1)
-    ys0, ys1 = ye[:-1], ye[1:]
-    xs0, xs1 = xe[:-1], xe[1:]
     area = (ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]
     blk = (
         csum[np.ix_(ys1, xs1)] - csum[np.ix_(ys0, xs1)] - csum[np.ix_(ys1, xs0)] + csum[np.ix_(ys0, xs0)]
     )
-    return blk / np.maximum(area, 1)
+    return blk / area
 
 
 def phash64(pixels: np.ndarray) -> int:

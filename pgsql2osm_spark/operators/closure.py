@@ -92,6 +92,10 @@ def rels_children_closure(
     """
     rels = memberships.where(F.col("parent_kind") == "R")
     if only_multipolygon:
+        if "tags" not in memberships.columns:
+            raise ValueError(
+                "only_multipolygon requires a tags map column on the membership table"
+            )
         rels = rels.where(F.col("tags")["type"] == "multipolygon")
     frontier = seed_rel_ids.select("id")
     collected = None

@@ -205,31 +205,46 @@ def simhash_fast_col(text: str = "text") -> F.Column:
     return fold(hashes)
 
 
-def simhash_near_dups(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+def _banded_hamming_pairs(
+    hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top prefix_bits, verify
-    hamming <= max_hamming inside each bucket (bit_count is a built-in)."""
-    sh = df.select(F.col(id_col), simhash_fast_col(text).alias("simhash")).withColumn(
-        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(
+    """Complete near-dup candidate generation for 64-bit hashes: bucket on
+    max_hamming+1 disjoint bit bands and union the per-band bucket joins.
+    Pigeonhole guarantee: <= max_hamming flipped bits cannot touch all
+    max_hamming+1 bands, so every qualifying pair collides in at least one
+    band (a single-prefix bucket misses pairs whose diff hits the prefix —
+    Manku et al.'s multi-table scheme). Exact hamming filter after."""
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    pairs = None
+    for i in range(n_bands):
+        width = band_bits if i < n_bands - 1 else 64 - band_bits * (n_bands - 1)
+        shifted = F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+        band = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        h = hashed.select(F.col(id_col), F.col(hash_col)).withColumn("_band", band)
+        a, b = h.alias("a"), h.alias("b")
+        cand = a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a._band") == F.col("b._band"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn(
-            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))).alias(
+                "hamming"
+            ),
         )
-    )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+
+
+def simhash_near_dups(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash with COMPLETE recall at the given radius
+    (banded multi-table candidate generation + exact hamming filter)."""
+    sh = df.select(F.col(id_col), simhash_fast_col(text).alias("simhash"))
+    return _banded_hamming_pairs(sh, "simhash", id_col, max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -268,23 +283,11 @@ def word_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def phash_near_dups(images: DataFrame, max_hamming: int = 6, prefix_bits: int = 12) -> DataFrame:
-    """Near-duplicate images by perceptual hash: prefix-bucket then exact
-    hamming — same shape as simhash_near_dups but over the phash column of
-    the input_hint schema."""
-    ph = images.select("image_id", "phash").withColumn(
-        "bucket", F.shiftrightunsigned("phash", 64 - prefix_bits)
-    )
-    a, b = ph.alias("a"), ph.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .withColumn("hamming", F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a.image_id").alias("id_a"), F.col("b.image_id").alias("id_b"), "hamming")
-    )
+def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate images by perceptual hash — banded complete-recall
+    candidate generation over the phash column of the input_hint schema."""
+    ph = images.select("image_id", "phash")
+    return _banded_hamming_pairs(ph, "phash", "image_id", max_hamming)
 
 
 def rank_dedup_representatives(

@@ -212,7 +212,9 @@ def pip_join_partitioned(
       no broadcast of geometry.
     """
     out_cols = keep_cols or list(points.columns)
-    cover = build_cover_df(regions_df, res_lo, res_hi)
+    # cache: the distinct-res probe below would otherwise execute the whole
+    # distributed cover rasterization a second time for the join
+    cover = build_cover_df(regions_df, res_lo, res_hi).persist()
     res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
 
     probe, names = C.with_cell_columns(

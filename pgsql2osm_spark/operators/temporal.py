@@ -36,19 +36,24 @@ def asof_join(
     One union + one window sort per key — the standard distributed as-of
     shape; both inputs shuffle once on ``key``.
     """
+    pid_type = probe.schema[probe_id].dataType
+    # the matched build ROW travels as one struct: per-column last(ignorenulls)
+    # would stitch values from DIFFERENT build rows whenever the latest row
+    # has a NULL column (a row that never existed); a struct is non-null as a
+    # whole for build rows, so last(ignorenulls) picks one real row
     b = build.select(
         F.col(key),
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast("long").alias("_pid"),
-        *[F.col(c) for c in build_cols],
+        F.lit(None).cast(pid_type).alias("_pid"),
+        F.struct(F.col(time_col).alias("asof_ts"), *[F.col(c) for c in build_cols]).alias("_row"),
     )
     p = probe.select(
         F.col(key),
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
-        F.col(probe_id).cast("long").alias("_pid"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(c) for c in build_cols],
+        F.col(probe_id).alias("_pid"),
+        F.lit(None).cast(b.schema["_row"].dataType).alias("_row"),
     )
     u = b.unionByName(p)
     # build rows sort before probe rows at equal timestamps (_side 0 < 1), so
@@ -58,19 +63,13 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        key,
-        "_t",
-        "_side",
-        "_pid",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in build_cols],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts"),
-    )
+    filled = u.withColumn("_m", F.last("_row", ignorenulls=True).over(w))
     return filled.where(F.col("_side") == 1).select(
-        F.col("_pid").alias(probe_id), F.col(key), F.col("_t").alias(time_col),
-        "asof_ts", *build_cols
+        F.col("_pid").alias(probe_id),
+        F.col(key),
+        F.col("_t").alias(time_col),
+        F.col("_m.asof_ts").alias("asof_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in build_cols],
     )
 
 

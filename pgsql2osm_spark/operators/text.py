@@ -52,7 +52,6 @@ def _in_list_sql(items: tuple[str, ...]) -> str:
 
 
 def stopword_count_col(text: str = "text", words: tuple[str, ...] = STOPWORDS) -> Column:
-    lst = ", ".join(f"'{w}'" for w in words)
     return F.size(
         F.filter(tokens_col(text), lambda t: F.lower(t).isin(*words))
     )
@@ -128,7 +127,7 @@ def lang_id_col(text: str = "text") -> Column:
     return best
 
 
-def lang_id_sql(text: str = "text") -> str:
+def lang_id_sql(text: str = "text") -> tuple[list[str], str]:
     parts = []
     for lang in sorted(LANG_LEXICONS):
         ws = LANG_LEXICONS[lang]

@@ -81,11 +81,14 @@ def tile_key_expr(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat") -> 
 
 def region_tiles(regions: list[dict], z: int) -> pd.DataFrame:
     """Vector side: tiles covered by each region polygon at zoom z (driver
-    side, broadcastable). Reuses the polygon cover machinery by rasterizing
-    cover-cell centers to tiles + direct vertex tiles."""
+    side, broadcastable). Rasterizes every tile overlapping each cover cell
+    (the full tile RANGE from the cell's bounds — a cell coarser than a tile
+    spans several tiles, and a center-only mapping would silently drop the
+    others)."""
     from ..sources import fixtures as FX
 
     rows = []
+    eps = 1e-9
     for reg in regions:
         rings = FX.region_rings(reg) if "outer_rings" in reg else reg["rings"]
         rings = G.normalize_rings([np.asarray(r, dtype=np.float64) for r in rings])
@@ -93,9 +96,15 @@ def region_tiles(regions: list[dict], z: int) -> pd.DataFrame:
         cells_arr, _ = G.polygon_cover(rings, res, max_cells=131072)
         from ..functions import cells as C
 
-        clon, clat = C.cell_center(cells_arr)
-        xt, yt = G.lonlat_to_tile(clon, clat, z)
-        for vx, vy in {(int(a), int(b)) for a, b in zip(xt, yt)}:
+        lon0, lat0, lon1, lat1 = C.cell_bounds(cells_arr)
+        x0, y1 = G.lonlat_to_tile(lon0 + eps, lat0 + eps, z)  # y grows southward
+        x1, y0 = G.lonlat_to_tile(lon1 - eps, lat1 - eps, z)
+        seen = set()
+        for a0, a1, b0, b1 in zip(x0, x1, y0, y1):
+            for vx in range(int(a0), int(a1) + 1):
+                for vy in range(int(b0), int(b1) + 1):
+                    seen.add((vx, vy))
+        for vx, vy in seen:
             rows.append((int(reg["region_id"]), np.int32(z), vx, vy))
     return pd.DataFrame(rows, columns=["region_id", "z", "x", "y"]).drop_duplicates()
 

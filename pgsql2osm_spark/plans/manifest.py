@@ -52,7 +52,9 @@ def write_stage_with_manifest(
     todo_ids = [r["bucket"] for r in todo.collect()]
     if not todo_ids:
         return
-    part = df.where(F.col(bucket_col).isin(todo_ids))
+    # cache: counts below must describe exactly what was written, and the
+    # upstream pipeline (often a full PIP join) must not execute twice
+    part = df.where(F.col(bucket_col).isin(todo_ids)).persist()
     (
         part.withColumn("_bucket", F.col(bucket_col))
         .write.mode("overwrite")
@@ -70,6 +72,7 @@ def write_stage_with_manifest(
         .select("job_id", "stage", "bucket", "row_count", "input_fingerprint", "wrote_at")
     )
     counts.write.mode("append").parquet(_manifest_path(out_dir))
+    part.unpersist()
 
 
 def _manifest_path(out_dir: str) -> str:

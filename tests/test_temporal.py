@@ -89,3 +89,29 @@ def test_range_join_matches_bruteforce(spark):
         if intervals["lo"][i] <= probe["value"][p] <= intervals["hi"][i]
     }
     assert g == e and len(e) > 100
+
+
+def test_asof_null_build_column_not_stitched(spark):
+    """Per-row semantics: the LATEST build row's values are returned even if
+    some are NULL — never a Franken-row stitched from older rows."""
+    build = pd.DataFrame(
+        {"user_id": [1, 1], "tsec": [1, 2], "a": [5.0, np.nan], "b": ["x", "y"]}
+    )
+    probe = pd.DataFrame({"pid": [0], "user_id": [1], "tsec": [3]})
+    got = TP.asof_join(
+        spark.createDataFrame(probe), spark.createDataFrame(build),
+        key="user_id", time_col="tsec", build_cols=["a", "b"], probe_id="pid",
+    ).collect()[0]
+    assert got["asof_ts"] == 2 and got["b"] == "y"
+    assert got["a"] is None  # NOT 5.0 from the older row
+
+
+def test_asof_string_probe_id(spark):
+    """probe_id keeps its own dtype (strings work)."""
+    build = pd.DataFrame({"user_id": [1], "tsec": [1], "price": [9]})
+    probe = pd.DataFrame({"pid": ["img0001"], "user_id": [1], "tsec": [5]})
+    got = TP.asof_join(
+        spark.createDataFrame(probe), spark.createDataFrame(build),
+        key="user_id", time_col="tsec", build_cols=["price"], probe_id="pid",
+    ).collect()[0]
+    assert got["pid"] == "img0001" and got["price"] == 9

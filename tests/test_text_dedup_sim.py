@@ -174,3 +174,17 @@ def test_ivf_topk_recall_and_self_match(spark):
     assert recall >= 0.5, f"recall {recall}"
     self_hits = {(r.query_id, r.neighbor_id) for r in approx.itertuples() if r.rank == 1}
     assert self_hits == {(q, q) for q in range(8)}  # own list always probed
+
+
+def test_banded_near_dup_complete_recall(spark):
+    """Pairs whose differing bits hit ANY band (incl. the top prefix) are
+    found — the single-prefix bucketing bug regression."""
+    base = int(np.int64(0x0123456789ABCDEF))
+    rows = [("h0", base)]
+    # flip bits in the TOP band (bit 60), middle, and bottom
+    for i, bit in enumerate([60, 61, 33, 2]):
+        rows.append((f"h{i+1}", int(np.int64(np.uint64(base) ^ (np.uint64(1) << np.uint64(bit))))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"]) for r in DD.phash_near_dups(df, max_hamming=2).collect()}
+    for i in range(1, 5):
+        assert ("h0", f"h{i}") in got, f"missed pair h0-h{i}"

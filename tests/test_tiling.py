@@ -97,3 +97,19 @@ def test_frame_sample_fakevideo_and_stub(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|fakevideo"):
         TL.frame_sample(bad).collect()
+
+
+def test_region_tiles_covers_all_interior_tiles(spark):
+    """Every tile whose center lies inside the region appears in
+    region_tiles — cover cells coarser than tiles must fan out to the full
+    tile range, not just the tile under the cell center."""
+    ring = np.array([[0.0, 0.0], [12.0, 0.0], [12.0, 10.0], [0.0, 10.0]])
+    region = [{"region_id": 1, "rings": [ring]}]
+    z = 9  # tile ~0.7 deg, adaptive cover res likely coarser per cell
+    vec = TL.region_tiles(region, z)
+    vecset = {(int(r.x), int(r.y)) for r in vec.itertuples()}
+    # probe a dense grid of interior points
+    gx, gy = np.meshgrid(np.linspace(0.2, 11.8, 60), np.linspace(0.2, 9.8, 50))
+    xt, yt = G.lonlat_to_tile(gx.ravel(), gy.ravel(), z)
+    missing = {(int(a), int(b)) for a, b in zip(xt, yt)} - vecset
+    assert not missing, f"missing {len(missing)} tiles e.g. {list(missing)[:4]}"
