@@ -11,7 +11,13 @@ their exact checks from tests/ golden oracles instead.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# self-locating: the engine package lives beside this file; the driver may
+# import this module from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
