@@ -959,7 +959,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens
               FROM documents
             )
-            SELECT lang, quality_ok, count(*) AS n, sum(n_tokens) AS total_tokens
+            -- DuckDB sum(BIGINT) -> HUGEINT materializes as float64 in pandas;
+            -- Spark returns int64 — cast so the driver's value hash matches
+            SELECT lang, quality_ok, count(*) AS n,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM f GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "exact_dedup": """

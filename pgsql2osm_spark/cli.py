@@ -23,10 +23,25 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("pgsql2osm_spark", description=__doc__)
     p.add_argument("--input", required=True, help="parquet/iceberg path with lon/lat columns")
-    g = p.add_mutually_exclusive_group(required=True)
+    # reference surface (cli.py:18-33): exactly one of --osm-rel-id/--iso/
+    # --geojson picks the polygon boundary; --bbox is SEPARATE and conjunctive
+    # (intersection, settings.py:132-140) — or stands alone as the boundary
+    g = p.add_mutually_exclusive_group(required=False)
     g.add_argument("--iso", help="iso code lookup against the regions dimension (S8)")
-    g.add_argument("--bbox", help="lon_min,lat_min,lon_max,lat_max")
     g.add_argument("--geojson", help="path to a geojson polygon file (S9)")
+    g.add_argument(
+        "--osm-rel-id", type=int, default=None,
+        help="relation id whose polygon makes the boundary (reference settings.py:120-126)",
+    )
+    p.add_argument(
+        "--bbox",
+        help="lon_min,lat_min,lon_max,lat_max — AND'd with the polygon boundary "
+        "when one is given, else the boundary itself",
+    )
+    p.add_argument(
+        "--regions-csv", default=None,
+        help="regions.csv-shaped dimension file for --iso (default: fixture dim)",
+    )
     p.add_argument("--out", required=True, help="output parquet dir")
     p.add_argument("--zoom", type=int, default=12)
     p.add_argument("--job-id", default="cli")
@@ -61,6 +76,14 @@ def main(argv=None, spark=None) -> int:
     from .session import get_spark
     from .sources import regions as RG
 
+    if not (args.bbox or args.iso or args.geojson or args.osm_rel_id):
+        # the reference's "no boundary provided" guard (settings.py:143-146)
+        print(
+            "error: no boundary provided; for the whole planet use "
+            "--bbox='-180,-89.99,180,89.99'",
+            file=sys.stderr,
+        )
+        return 2
     owns_session = spark is None
     if owns_session:
         spark = get_spark(
@@ -68,14 +91,28 @@ def main(argv=None, spark=None) -> int:
         )
     pts = spark.read.parquet(args.input)
 
-    if args.bbox:
-        x0, y0, x1, y1 = (float(v) for v in args.bbox.split(","))
-        rings = [np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
-        region_list = [{"region_id": 1, "rings": rings}]
-    elif args.geojson:
+    region_list = None
+    if args.geojson:
         region_list = [{"region_id": 1, "rings": _geojson_rings(args.geojson)}]
-    else:
-        dim = RG.fixture_regions_dim(spark)
+    elif args.osm_rel_id is not None:
+        # the reference resolves the boundary polygon from the data itself by
+        # relation id (polygon table row osm_id=-rel_id, settings.py:120-126);
+        # the fixture analogue maps rel id 100000+r to fixture polygon r
+        # (deployments swap in a real boundary table here)
+        from .sources import fixtures as FX
+
+        rid = args.osm_rel_id - 100000
+        matches = [r for r in FX.gen_admin_polygons(64) if r["region_id"] == rid]
+        if not matches:
+            print(f"osm rel id {args.osm_rel_id} has no boundary polygon", file=sys.stderr)
+            return 2
+        region_list = matches
+    elif args.iso:
+        dim = (
+            RG.load_regions_dim(spark, args.regions_csv)
+            if args.regions_csv
+            else RG.fixture_regions_dim(spark)
+        )
         hits = RG.regions_lookup(dim, args.iso).collect()
         if not hits:
             print(f"iso {args.iso!r} not found", file=sys.stderr)
@@ -88,6 +125,21 @@ def main(argv=None, spark=None) -> int:
         all_regions = FX.gen_admin_polygons(64)
         wanted = {abs(h["osm_id"]) - 100000 for h in hits}
         region_list = [r for r in all_regions if r["region_id"] in wanted] or all_regions[:1]
+
+    if args.bbox:
+        x0, y0, x1, y1 = (float(v) for v in args.bbox.split(","))
+        if region_list is None:
+            # bbox alone IS the boundary (rectangle polygon)
+            rings = [np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
+            region_list = [{"region_id": 1, "rings": rings}]
+        else:
+            # conjunction: cheap bbox Column predicate AND'd ahead of the
+            # exact PIP join — the reference's intersection-as-AND staging
+            # (settings.py:132-140: "cost 1000x lower")
+            pts = pts.where(
+                (F.col("lon") >= x0) & (F.col("lon") <= x1)
+                & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+            )
 
     joined = SJ.pip_join(
         spark, SJ.pip_join_bbox_prefilter(pts, region_list), region_list

@@ -22,11 +22,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _maybe_broadcast(id_set: DataFrame, seeds_broadcastable: bool | None) -> DataFrame:
+    """Broadcast an id-set join side only when the caller vouches it is small.
+
+    The reference's seed sets reach tens of millions of ids (47.1M nodes for
+    Switzerland, reference README.md:99) and billions at the 100 TB target —
+    forcing F.broadcast there OOMs the driver. Policy:
+      True  -> F.broadcast (caller knows the set is small, e.g. a bounded
+               relation-id list);
+      None/False -> plain join; Catalyst broadcasts below
+               autoBroadcastJoinThreshold from stats, and AQE upgrades a
+               shuffle join to broadcast at runtime when the built side
+               turns out small — so small sets still avoid the shuffle
+               without the caller risking an unbounded collect."""
+    return F.broadcast(id_set) if seeds_broadcastable else id_set
+
+
 def parents_of(
     memberships: DataFrame,
     seed_ids: DataFrame,
     member_type: str,
     parent_kind: str | None = None,
+    seeds_broadcastable: bool | None = None,
 ) -> DataFrame:
     """Reverse membership join: ids of parents containing any seed id as a
     member of ``member_type`` — the explode + semi-join form of the
@@ -34,7 +51,8 @@ def parents_of(
     SURVEY.md J2/J3/J4).
 
     seed_ids: DataFrame with column ``id``. Returns distinct parent ids as
-    column ``id``.
+    column ``id``. Seed sets are NOT broadcast unless the caller passes
+    ``seeds_broadcastable=True`` (see _maybe_broadcast).
     """
     m = memberships
     if parent_kind is not None:
@@ -42,11 +60,9 @@ def parents_of(
     edges = m.select(
         F.col("parent_id"), F.explode("members").alias("mem")
     ).where(F.col("mem.type") == member_type)
-    # broadcast the (typically small) seed set: the probe side is the big
-    # membership table and must not shuffle for a semi join
     return (
         edges.join(
-            F.broadcast(seed_ids.select(F.col("id"))),
+            _maybe_broadcast(seed_ids.select(F.col("id")), seeds_broadcastable),
             edges["mem.ref"] == F.col("id"),
             "left_semi",
         )
@@ -56,7 +72,10 @@ def parents_of(
 
 
 def children_of(
-    memberships: DataFrame, parent_ids: DataFrame, parent_kind: str | None = None
+    memberships: DataFrame,
+    parent_ids: DataFrame,
+    parent_kind: str | None = None,
+    seeds_broadcastable: bool | None = None,
 ) -> DataFrame:
     """Forward expansion: (type, id) of all members of the given parents
     (pgsql2osm.py:292-385, SURVEY.md J5/J6). Returns (kind, id) distinct."""
@@ -64,7 +83,7 @@ def children_of(
     if parent_kind is not None:
         m = m.where(F.col("parent_kind") == parent_kind)
     return (
-        m.join(F.broadcast(parent_ids.select(F.col("id"))),
+        m.join(_maybe_broadcast(parent_ids.select(F.col("id")), seeds_broadcastable),
                m["parent_id"] == F.col("id"), "left_semi")
         .select(F.explode("members").alias("mem"))
         .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
@@ -78,6 +97,7 @@ def rels_children_closure(
     only_multipolygon: bool = False,
     without_rels: bool = False,
     passes: int = 2,
+    seeds_broadcastable: bool | None = None,
 ) -> DataFrame:
     """Relation member expansion with bounded rel-in-rel nesting.
 
@@ -85,7 +105,9 @@ def rels_children_closure(
     explicit 2-pass loop — NOT a full transitive closure; parity requires
     stopping where the reference stops (pgsql2osm.py:316, 364-365;
     SURVEY.md X7). Flags mirror only_multipolygon_rels / without_rels
-    (pgsql2osm.py:309-313).
+    (pgsql2osm.py:309-313). When ``without_rels`` the reference returns
+    after the FIRST pass (pgsql2osm.py:362-365) — nested relations' members
+    are never expanded — so only one pass runs here too.
 
     Returns (kind, id) for all collected members; kind 'R' rows are the
     nested relations themselves (excluded when without_rels).
@@ -99,9 +121,17 @@ def rels_children_closure(
         rels = rels.where(F.col("tags")["type"] == "multipolygon")
     frontier = seed_rel_ids.select("id")
     collected = None
-    for _ in range(passes):
+    effective_passes = 1 if without_rels else passes
+    for i in range(effective_passes):
+        # pass 0's frontier is the caller's seed set (honors the hint);
+        # later frontiers are computed id-sets of unknown size — never forced
+        frontier_hint = seeds_broadcastable if i == 0 else None
         members = (
-            rels.join(F.broadcast(frontier), rels["parent_id"] == frontier["id"], "left_semi")
+            rels.join(
+                _maybe_broadcast(frontier, frontier_hint),
+                rels["parent_id"] == frontier["id"],
+                "left_semi",
+            )
             .select(F.explode("members").alias("mem"))
             .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
             .distinct()
@@ -114,10 +144,13 @@ def rels_children_closure(
     return out
 
 
-def ways_children_nodes(memberships: DataFrame, way_ids: DataFrame) -> DataFrame:
+def ways_children_nodes(
+    memberships: DataFrame, way_ids: DataFrame, seeds_broadcastable: bool | None = None
+) -> DataFrame:
     """way -> child node ids (pgsql2osm.py:369-385, SURVEY.md J6)."""
     return (
-        children_of(memberships, way_ids, parent_kind="W")
+        children_of(memberships, way_ids, parent_kind="W",
+                    seeds_broadcastable=seeds_broadcastable)
         .where(F.col("kind") == "N")
         .select("id")
         .distinct()
@@ -161,6 +194,7 @@ def nwr_within_closure(
     seed_rels: DataFrame,
     only_multipolygon: bool = False,
     without_rels: bool = False,
+    seeds_broadcastable: bool | None = None,
 ) -> dict[str, DataFrame]:
     """The reference's full 4-phase id-closure (stream_osm_xml phases
     'within'->'children'->'parents', pgsql2osm.py:399-432) over the
@@ -168,28 +202,38 @@ def nwr_within_closure(
     scan (S1-S3); output is the final id-set per entity class.
 
     Mirrors the reference's operator order exactly:
-      children: rels -> (N, W, nested R) [2-pass], then ways -> N
-      parents:  nodes_within -> parent ways + parent rels
+      children: rels -> (N, W, nested R) [2-pass, or 1 when without_rels],
+                then ways-so-far (seeds + rel members) -> N
+      parents:  nodes_within -> parent ways + parent rels, AFTER the way-node
+                expansion — so parent ways join the output but their child
+                nodes are NOT collected (ways_children_n runs before
+                nodes_parent_wr in stream_osm_xml, pgsql2osm.py:418-426).
     (ways_parent_r is defined-but-disabled in the reference, pgsql2osm.py:427
     — matched by not calling parents_of(..., 'W', 'R') here.)
+
+    ``seeds_broadcastable=True`` marks the three caller seed sets as small
+    enough to broadcast; derived frontiers are never forced (_maybe_broadcast).
     """
     nodes_within = seed_nodes.select("id").distinct()
 
     rel_members = rels_children_closure(
-        memberships, seed_rels, only_multipolygon=only_multipolygon, without_rels=without_rels
+        memberships, seed_rels, only_multipolygon=only_multipolygon,
+        without_rels=without_rels, seeds_broadcastable=seeds_broadcastable,
     )
-    parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W")
-    parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R")
+    parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W",
+                             seeds_broadcastable=seeds_broadcastable)
+    parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R",
+                             seeds_broadcastable=seeds_broadcastable)
 
     # union everything per entity class FIRST, distinct ONCE — each distinct
     # is a shuffle; chaining union/distinct pairs doubles the shuffle count
     # for no semantic gain at any scale
-    ways = (
+    ways_pre_parents = (
         seed_ways.select("id")
         .unionByName(rel_members.where(F.col("kind") == "W").select("id"))
-        .unionByName(parent_ways)
         .distinct()
     )
+    ways = ways_pre_parents.unionByName(parent_ways).distinct()
     rels = seed_rels.select("id")
     if not without_rels:
         rels = (
@@ -199,9 +243,10 @@ def nwr_within_closure(
         )
     nodes = (
         nodes_within.unionByName(rel_members.where(F.col("kind") == "N").select("id"))
-        # child nodes of ALL collected ways (incl. parents') complete the way
-        # geometries — the reference achieves this via its accumulator re-run
-        .unionByName(ways_children_nodes(memberships, ways))
+        # child nodes of the pre-parents way set only: the reference expands
+        # way nodes BEFORE the parents phase, so parent ways contribute no
+        # nodes (their geometry is completed by nodes already in the extract)
+        .unionByName(ways_children_nodes(memberships, ways_pre_parents))
         .distinct()
     )
 

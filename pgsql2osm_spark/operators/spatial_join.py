@@ -88,18 +88,32 @@ def pip_join(
     target_cells: int = 4096,
     keep_cols: list[str] | None = None,
     cell_cols: dict[int, str] | None = None,
+    max_broadcast_cells: int = 2_000_000,
 ) -> DataFrame:
     """points x regions -> rows of points inside each region.
 
     Returns the point columns (or ``keep_cols``) + ``region_id``. A point in
     k overlapping regions yields k rows (nested admin levels do overlap, as
     in the reference's relation hierarchy).
+
+    Dispatch: region sets whose cover exceeds ``max_broadcast_cells`` (or
+    whose size makes even building the cover on the driver unreasonable)
+    automatically take the shuffle-partitioned path (pip_join_partitioned) —
+    one entry point, physical strategy chosen from measured cover size.
     """
+    # cheap pre-estimate: covers average ~target_cells per region by
+    # construction (adaptive_cover_res aims at target_cells), so a huge
+    # region list skips the driver-side cover build entirely
+    if len(regions) * target_cells > 2 * max_broadcast_cells:
+        return pip_join_partitioned(
+            spark, points, regions_to_df(spark, regions), lon=lon, lat=lat,
+            res_lo=res_lo, res_hi=res_hi, keep_cols=keep_cols,
+        )
     cover_pdf, rings_by_region = build_cover(regions, res_lo, res_hi, target_cells)
-    if len(cover_pdf) > 2_000_000:
-        raise ValueError(
-            f"cover has {len(cover_pdf):,} cells — too large to broadcast; "
-            "use pip_join_partitioned (the shuffle fallback) for this region set"
+    if len(cover_pdf) > max_broadcast_cells:
+        return pip_join_partitioned(
+            spark, points, regions_to_df(spark, regions), lon=lon, lat=lat,
+            res_lo=res_lo, res_hi=res_hi, keep_cols=keep_cols,
         )
     if cover_pdf.empty:
         out_cols = keep_cols or list(points.columns)
@@ -191,6 +205,24 @@ def build_cover_df(regions_df: DataFrame, res_lo: int = 7, res_hi: int = 11,
     return regions_df.mapInPandas(gen, COVER_DF_SCHEMA)
 
 
+def probe_cover_res(regions_df: DataFrame, res_lo: int = 7, res_hi: int = 11,
+                    target_cells: int = 4096) -> list[int]:
+    """Distinct cover resolutions for a region set WITHOUT rasterizing:
+    adaptive_cover_res needs only each polygon's bbox, so this probe is a
+    cheap one-pass job (the full cover build is deferred to the join plan)."""
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            res = [
+                int(G.adaptive_cover_res(G.unpack_rings(bytes(blob)), res_lo, res_hi, target_cells))
+                for blob in pdf["wkb"]
+            ]
+            yield pd.DataFrame({"res": pd.array(res, dtype="int32")})
+
+    rows = regions_df.mapInPandas(gen, "res int").distinct().collect()
+    return sorted(int(r["res"]) for r in rows)
+
+
 def pip_join_partitioned(
     spark: SparkSession,
     points: DataFrame,
@@ -200,6 +232,7 @@ def pip_join_partitioned(
     res_lo: int = 7,
     res_hi: int = 11,
     keep_cols: list[str] | None = None,
+    cover_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shuffle-partitioned PIP join — the fallback when the region set is too
     large to broadcast (SURVEY.md J1 'range-partitioned fallback').
@@ -210,12 +243,17 @@ def pip_join_partitioned(
       becomes co-located), exact refine via applyInPandas grouped by region —
       each group carries its own rings through the join, no driver state,
       no broadcast of geometry.
+
+    No caching: the interior/boundary branches share the candidate join's
+    shuffle exchanges (Spark's ReuseExchange), so the cover is rasterized
+    once in the final plan; the resolution probe (probe_cover_res) reads only
+    bboxes. Long-lived sessions that re-join against the same region set
+    should pre-materialize ``cover_df = build_cover_df(...)`` to parquet and
+    pass it in.
     """
     out_cols = keep_cols or list(points.columns)
-    # cache: the distinct-res probe below would otherwise execute the whole
-    # distributed cover rasterization a second time for the join
-    cover = build_cover_df(regions_df, res_lo, res_hi).persist()
-    res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
+    res_rows = probe_cover_res(regions_df, res_lo, res_hi)
+    cover = cover_df if cover_df is not None else build_cover_df(regions_df, res_lo, res_hi)
 
     probe, names = C.with_cell_columns(
         points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]

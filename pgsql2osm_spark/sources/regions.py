@@ -38,10 +38,47 @@ def fixture_regions_dim(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, REGIONS_SCHEMA)
 
 
-def regions_lookup(dim: DataFrame, iso: str) -> DataFrame:
-    """Reference semantics (dbutils.py:11-27): case-insensitive; when the
-    query contains '-' match iso_subcountry exactly, else iso_country;
-    returns (name, osm_id) candidates."""
-    iso = iso.lower()
+def load_regions_dim(spark: SparkSession, path: str) -> DataFrame:
+    """Load a REAL regions dimension from a regions.csv-shaped file — the
+    swap-in contract for deployments (the fixture stays for tests).
+
+    Expected header (reference regions.csv, generation recipe reference
+    README.md:232-245 — one psql query over planet_osm_polygon admin
+    boundaries):
+        osm_id,name,iso_country,border_type,iso_subcountry,admin_level[,wikipedia]
+    osm_id is the POSITIVE relation id (the recipe negates the polygon
+    table's negative osm_id); the boundary polygon row is then -osm_id
+    (reference settings.py:120-126). Extra columns (wikipedia, ...) are
+    dropped; admin_level is cast to int (NULL when non-numeric)."""
+    raw = spark.read.option("header", "true").csv(path)
+    required = ["osm_id", "name", "iso_country", "border_type", "iso_subcountry", "admin_level"]
+    missing = [c for c in required if c not in raw.columns]
+    if missing:
+        raise ValueError(f"regions csv {path} missing columns {missing}")
+    return raw.select(
+        F.col("osm_id").cast("long").alias("osm_id"),
+        "name",
+        "iso_country",
+        "border_type",
+        "iso_subcountry",
+        F.col("admin_level").cast("int").alias("admin_level"),
+    )
+
+
+def regions_lookup(dim: DataFrame, iso: str, first_match: bool = False) -> DataFrame:
+    """Reference semantics (dbutils.py:11-27): normalize the query with
+    upper()/replace('_','-') (so 'zb_02' resolves like 'zb-02'), match
+    case-insensitively — iso_subcountry exactly when the query contains '-',
+    else iso_country.
+
+    The reference returns the FIRST exact match in regions.csv file order;
+    ``first_match=True`` replicates that (one row, lowest |osm_id| — the
+    dimension's generation order). The default returns ALL candidates, a
+    deliberate superset useful when one iso code maps to several boundary
+    rows (the caller picks)."""
+    iso = iso.upper().replace("_", "-").lower()
     col = "iso_subcountry" if "-" in iso else "iso_country"
-    return dim.where(F.lower(F.col(col)) == iso).select("name", "osm_id")
+    out = dim.where(F.lower(F.col(col)) == iso).select("name", "osm_id")
+    if first_match:
+        out = out.orderBy(F.abs(F.col("osm_id")).asc()).limit(1)
+    return out

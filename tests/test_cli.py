@@ -64,3 +64,63 @@ def test_cli_bad_iso_exit_code(spark, pts_path, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_cli_iso_bbox_conjunction(spark, pts_path, tmp_path):
+    """Reference parity (cli.py:18-22, settings.py:132-140): --bbox given IN
+    ADDITION to --iso extracts the INTERSECTION — every output point is in
+    both the iso polygon and the bbox."""
+    out_iso = str(tmp_path / "iso_only")
+    assert cli.main(
+        ["--input", pts_path, "--iso", "za-01", "--out", out_iso, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    iso_rows = spark.read.parquet(f"{out_iso}/tiles").select("image_id", "lon", "lat").collect()
+    assert len(iso_rows) > 0
+    lons = [r["lon"] for r in iso_rows]
+    lats = [r["lat"] for r in iso_rows]
+    # bbox clipping the iso polygon roughly in half
+    bx0, by0 = float(np.median(lons)), min(lats) - 1.0
+    bx1, by1 = max(lons) + 1.0, max(lats) + 1.0
+    out_both = str(tmp_path / "iso_bbox")
+    assert cli.main(
+        ["--input", pts_path, "--iso", "za-01", f"--bbox={bx0},{by0},{bx1},{by1}",
+         "--out", out_both, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    both_rows = spark.read.parquet(f"{out_both}/tiles").select("image_id", "lon", "lat").collect()
+    exp = {r["image_id"] for r in iso_rows
+           if bx0 <= r["lon"] <= bx1 and by0 <= r["lat"] <= by1}
+    got = {r["image_id"] for r in both_rows}
+    assert got == exp
+    assert 0 < len(got) < len(iso_rows)
+
+
+def test_cli_osm_rel_id_boundary(spark, pts_path, tmp_path):
+    """--osm-rel-id selects the boundary polygon from the data itself
+    (reference settings.py:120-126); fixture rel 100003 = region 3."""
+    out = str(tmp_path / "rel")
+    assert cli.main(
+        ["--input", pts_path, "--osm-rel-id", "100003", "--out", out, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    from pgsql2osm_spark.operators import spatial_join as SJ
+
+    got = {r["image_id"] for r in
+           spark.read.parquet(f"{out}/tiles").select("image_id").collect()}
+    region = [r for r in FX.gen_admin_polygons(64) if r["region_id"] == 3]
+    pts = spark.read.parquet(pts_path)
+    exp = {r["image_id"] for r in
+           SJ.pip_join(spark, pts, region, keep_cols=["image_id"]).collect()}
+    assert got == exp and len(got) > 0
+    # unknown rel id errors like the reference's missing-boundary path
+    assert cli.main(
+        ["--input", pts_path, "--osm-rel-id", "42", "--out", str(tmp_path / "r2")],
+        spark=spark,
+    ) == 2
+
+
+def test_cli_no_boundary_is_an_error(spark, pts_path, tmp_path):
+    assert cli.main(
+        ["--input", pts_path, "--out", str(tmp_path / "nb")], spark=spark
+    ) == 2

@@ -71,6 +71,46 @@ def test_without_rels_excludes_rel_members(spark):
     assert got.where(F.col("kind") == "R").count() == 0
 
 
+def test_without_rels_runs_single_pass(spark):
+    """Reference parity: without_rels returns after the FIRST pass
+    (pgsql2osm.py:362-365) — nested relations' W/N members are never
+    collected. Fixture: multipolygon rel 9001 nests multipolygon rel 9005."""
+    rows = FX.gen_memberships()
+    mdf = FX.memberships_df(spark)
+    seed = spark.createDataFrame([(9001,)], "id long")
+    got = {(r["kind"], r["id"]) for r in
+           CL.rels_children_closure(mdf, seed, without_rels=True).collect()}
+    first_pass = {(m["type"], m["ref"]) for m in _py_members(rows, {9001}, kinds=("R",))
+                  if m["type"] != "R"}
+    assert got == first_pass
+    # and specifically: 9005's own members must NOT appear
+    nested = {(m["type"], m["ref"]) for m in _py_members(rows, {9005}, kinds=("R",))}
+    assert not (got & (nested - first_pass))
+
+
+def test_large_seed_set_is_not_broadcast(spark):
+    """Scale guard: a seed set above the broadcast threshold must take a
+    shuffle semi-join — unconditional F.broadcast of e.g. a 47M-node within
+    set (reference README.md:99) would OOM at the 100 TB target."""
+    mdf = FX.memberships_df(spark)
+    # ~30M rows, est. ~240MB > autoBroadcastJoinThreshold (10MB)
+    big_seed = spark.range(30_000_000).select(F.col("id"))
+    out = CL.parents_of(mdf, big_seed, "N", parent_kind="W")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the seed side must not be forced into a broadcast build
+    assert "BroadcastExchange" not in plan, plan
+    # hinted-small seeds still broadcast (no shuffle of the membership table)
+    small = spark.createDataFrame([(i,) for i in range(1, 50)], "id long")
+    out_small = CL.parents_of(mdf, small, "N", parent_kind="W", seeds_broadcastable=True)
+    plan_small = out_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small
+    # and the result is identical either way
+    a = {r["id"] for r in CL.parents_of(mdf, small, "N", parent_kind="W").collect()}
+    b = {r["id"] for r in out_small.collect()}
+    assert a == b
+
+
 def test_priority_cascade_first_wins(spark):
     a = spark.createDataFrame([(1, "poly"), (2, "poly")], "id long, src string")
     b = spark.createDataFrame([(2, "line"), (3, "line")], "id long, src string")
@@ -95,14 +135,25 @@ def test_full_nwr_closure_runs_and_is_consistent(spark):
     nodes = {r["id"] for r in out["N"].collect()}
     ways = {r["id"] for r in out["W"].collect()}
     rels = {r["id"] for r in out["R"].collect()}
-    # every collected way's child nodes must be present (way-node
-    # reconstruction invariant, the reference's core correctness property)
+    # way-node reconstruction invariant for the children-phase way set: the
+    # reference expands way nodes BEFORE the parents phase, so ways added as
+    # parents of within-nodes are excluded from the invariant
+    # (pgsql2osm.py:418-426)
     rows = FX.gen_memberships()
+    nodes_within = set(range(1, 50))
+    rel_member_w = set()
+    frontier = {9001, 9002}
+    for _ in range(2):
+        mem = _py_members(rows, frontier, kinds=("R",))
+        rel_member_w |= {m["ref"] for m in mem if m["type"] == "W"}
+        frontier = {m["ref"] for m in mem if m["type"] == "R"}
+    pre_parent_ways = {501, 502} | rel_member_w
     for r in rows:
-        if r["parent_kind"] == "W" and r["parent_id"] in ways:
+        if r["parent_kind"] == "W" and r["parent_id"] in pre_parent_ways:
             for m in r["members"]:
                 if m["type"] == "N":
                     assert m["ref"] in nodes, f"way {r['parent_id']} missing node {m['ref']}"
+    assert pre_parent_ways <= ways
     assert {9001, 9002} <= rels
     assert {501, 502} <= ways
 
@@ -167,6 +218,9 @@ def test_closure_property_random_graphs(spark):
         exp_w |= {i for t, i in rel_members if t == "W"}
         exp_r |= {i for t, i in rel_members if t == "R"}
         exp_n |= {i for t, i in rel_members if t == "N"}
+        # way-node expansion runs BEFORE the parents phase (ways_children_n
+        # then nodes_parent_wr, pgsql2osm.py:418-426): parent ways join the
+        # way set but contribute no child nodes
         exp_n |= {m["ref"] for w in exp_w for m in members_of(w, "W") if m["type"] == "N"}
         parent_w = {r["parent_id"] for r in rows if r["parent_kind"] == "W"
                     and any(m["type"] == "N" and m["ref"] in nodes_within for m in r["members"])}
@@ -174,7 +228,6 @@ def test_closure_property_random_graphs(spark):
                     and any(m["type"] == "N" and m["ref"] in nodes_within for m in r["members"])}
         exp_w |= parent_w
         exp_r |= parent_r
-        exp_n |= {m["ref"] for w in parent_w for m in members_of(w, "W") if m["type"] == "N"}
 
         assert got_sets["N"] == exp_n, f"seed {seed} N"
         assert got_sets["W"] == exp_w, f"seed {seed} W"

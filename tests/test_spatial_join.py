@@ -62,6 +62,21 @@ def test_partitioned_pip_join_equals_broadcast_path(spark):
     assert got_set == oracle_assignments(lon, lat, regions)
 
 
+def test_pip_join_auto_dispatches_to_partitioned(spark):
+    """One entry point: a cover above max_broadcast_cells takes the
+    partitioned path automatically (no raise) and still matches the oracle."""
+    n = 2000
+    lon, lat = FX.gen_points_slice(0, n)
+    regions = FX.gen_admin_polygons(8)
+    pts = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat}))
+    got = SJ.pip_join(spark, pts, regions, keep_cols=["idx"], max_broadcast_cells=100)
+    got_set = {(int(r["idx"]), int(r["region_id"])) for r in got.collect()}
+    assert got_set == oracle_assignments(lon, lat, regions)
+    # and the plan is the shuffle shape (applyInPandas refine), not broadcast
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_antimeridian_crossing_region(spark):
     """A region written across the antimeridian (lon jump > 180) is split
     automatically; PIP agrees with the shifted-space oracle on both sides."""

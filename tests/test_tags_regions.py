@@ -58,3 +58,29 @@ def test_regions_lookup_semantics(spark):
     assert len(sub) == 1 and sub[0]["osm_id"] == -(100000 + 2)
     # negative relation-id convention preserved
     assert all(r["osm_id"] < 0 for r in hits)
+    # reference input normalization (dbutils.py:12): '_' -> '-', any case
+    norm = RG.regions_lookup(dim, "ZB_02").collect()
+    assert [(r["name"], r["osm_id"]) for r in norm] == [
+        (r["name"], r["osm_id"]) for r in sub
+    ]
+    # first_match replicates the reference's single first-exact-match return
+    first = RG.regions_lookup(dim, "ZA", first_match=True).collect()
+    assert len(first) == 1
+    assert first[0]["osm_id"] == max(r["osm_id"] for r in hits)  # lowest |osm_id|
+
+
+def test_load_regions_dim_csv(spark, tmp_path):
+    csv = tmp_path / "regions.csv"
+    csv.write_text(
+        "osm_id,name,iso_country,border_type,iso_subcountry,admin_level,wikipedia\n"
+        "91294,Poltava Oblast,,,UA-53,4,uk:x\n"
+        "51701,Switzerland,CH,nation,,2,de:Schweiz\n"
+    )
+    dim = RG.load_regions_dim(spark, str(csv))
+    assert set(dim.columns) == {
+        "osm_id", "name", "iso_country", "border_type", "iso_subcountry", "admin_level"
+    }
+    hit = RG.regions_lookup(dim, "ch", first_match=True).collect()
+    assert len(hit) == 1 and hit[0]["osm_id"] == 51701 and hit[0]["name"] == "Switzerland"
+    sub = RG.regions_lookup(dim, "ua_53").collect()
+    assert len(sub) == 1 and sub[0]["osm_id"] == 91294

@@ -39,6 +39,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind != bv.dtype.kind:
+                # the driver hashes raw dtypes: int64 vs float64 with equal
+                # values still hash-mismatches (the lang_quality_agg r1 bug)
+                problems.append(f"col {c}: dtype-class spark={av.dtype} duck={bv.dtype}")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
                 if not ok:
