@@ -5,17 +5,15 @@ cell-index machinery to kNN:
 
 * ``knn_bruteforce`` — exact haversine top-k by broadcast cross join +
   window; the small-query-set baseline and the test oracle.
-* ``knn_rings``      — scalable path: candidates are generated by expanding
-  grid_disk rings around each query cell until the k-th candidate distance
-  is provably <= the minimum possible distance of any point outside the
-  ring — then exact haversine + row_number top-k. The fact table is probed
-  by an equi-join on cell id (broadcast of query-cell candidates), never
-  shuffled or scanned per query.
+* ``knn_rings``      — scalable path: a per-cell count probe gives every
+  query a provable upper bound on its k-th neighbor distance (the smallest
+  Chebyshev cell disk holding >= k points), then ONE broadcast equi-join on
+  the bounded candidate cell set + exact haversine + row_number top-k. Two
+  jobs total; the fact table is never shuffled and never cross-joined.
 
-Correctness guarantee for the ring bound: points outside grid_disk(c, r)
-are separated from the query cell by >= r full cell widths either in
-latitude (constant meters) or in longitude (shrinks by cos(lat)); we use the
-conservative minimum of the two at the cell's worst-case latitude.
+Correctness: any point outside the candidate cells has a provable minimum
+distance above the k-th-neighbor upper bound (see _kth_dist_upper_bound_m /
+_cell_min_dist_m), so the exact top-k over candidates equals brute force.
 """
 
 from __future__ import annotations
@@ -74,16 +72,45 @@ def knn_bruteforce(
     )
 
 
-def _ring_safe_dist_m(res: int, r: int, qlat: float) -> float:
-    """Lower bound on distance from anywhere in the query cell to anywhere
-    outside grid_disk(query_cell, r)."""
-    cell_h_deg = 180.0 / (1 << res)
-    cell_w_deg = 360.0 / (1 << res)
-    deg_m = 2 * np.pi * G.EARTH_R_M / 360.0
-    lat_worst = min(abs(qlat) + (r + 1) * cell_h_deg, 90.0)
-    d_lat = r * cell_h_deg * deg_m
-    d_lon = r * cell_w_deg * deg_m * max(np.cos(np.radians(lat_worst)), 0.0)
-    return min(d_lat, d_lon)
+def _kth_dist_upper_bound_m(r_k: np.ndarray, qlat: np.ndarray, res: int) -> np.ndarray:
+    """Upper bound on the k-th neighbor distance when the Chebyshev disk of
+    grid radius r_k around each query's cell holds >= k points: any point in
+    that disk is reachable by a meridian leg (<= (r_k+1) cell heights) plus a
+    parallel leg at the band latitude with the largest cosine."""
+    cell_h = np.radians(180.0 / (1 << res))
+    cell_w = np.radians(360.0 / (1 << res))
+    dlat = (r_k + 1) * cell_h
+    dlon = np.minimum((r_k + 1) * cell_w, np.pi)
+    qlat_r = np.radians(qlat)
+    # min |lat| over the band [qlat - dlat, qlat + dlat] maximizes cos
+    lo, hi = qlat_r - dlat, qlat_r + dlat
+    band_min_abs = np.where((lo <= 0) & (hi >= 0), 0.0, np.minimum(np.abs(lo), np.abs(hi)))
+    return G.EARTH_R_M * (dlat + np.cos(np.minimum(band_min_abs, np.pi / 2)) * dlon)
+
+
+def _cell_min_dist_m(
+    qlon: float, qlat: float, lon0: np.ndarray, lat0: np.ndarray,
+    lon1: np.ndarray, lat1: np.ndarray,
+) -> np.ndarray:
+    """Lower bound on haversine distance from a query point to anywhere in
+    each [lon0,lon1]x[lat0,lat1] cell: max of the latitude-gap great circle
+    and the longitude-gap bound from the haversine identity
+    sin^2(d/2R) >= cos(phi1) cos(phi2) sin^2(dlam/2)."""
+    lat_gap = np.maximum(0.0, np.maximum(lat0 - qlat, qlat - lat1))
+    d_lat = G.EARTH_R_M * np.radians(lat_gap)
+    # wrap-aware angular gap between qlon and [lon0, lon1]
+    raw = np.maximum(0.0, np.maximum(lon0 - qlon, qlon - lon1))
+    raw_wrapped = np.minimum(raw, 360.0 - np.maximum(lon1 - qlon, qlon - lon0))
+    lon_gap = np.radians(np.clip(raw_wrapped, 0.0, 180.0))
+    # smallest cos over the cell's lat range = cos at the extreme |lat|
+    cell_max_abs = np.maximum(np.abs(lat0), np.abs(lat1))
+    cos_prod = np.maximum(
+        np.cos(np.radians(qlat)) * np.cos(np.radians(np.minimum(cell_max_abs, 90.0))), 0.0
+    )
+    d_lon = 2.0 * G.EARTH_R_M * np.arcsin(
+        np.clip(np.sqrt(cos_prod) * np.sin(lon_gap / 2.0), 0.0, 1.0)
+    )
+    return np.maximum(d_lat, d_lon)
 
 
 def knn_rings(
@@ -94,81 +121,90 @@ def knn_rings(
     res: int = 7,
     point_id: str = "image_id",
     query_id: str = "query_id",
-    max_rounds: int = 8,
 ) -> DataFrame:
-    """Exact kNN by iterative grid_disk expansion (driver-paced rounds).
+    """Exact kNN via a cell-count probe + one bounded candidate join — the
+    scale path of SURVEY.md J11, two Spark jobs total regardless of query
+    count (the r1 design ran one job per doubling ring round plus an
+    unbounded cross-join fallback; VERDICT r1 'what's wrong #3').
 
-    queries_pdf: pandas DataFrame (query_id, lon, lat) — the query set is
-    small by construction (it is broadcast); the point table is probed by a
-    broadcast equi-join on its precomputable cell column, so each round scans
-    the fact table once with partition pruning on cell.
+      job 1 (probe): per-cell point counts at ``res`` — map-side partial agg,
+        <= 4^res (res 7: 16,384) rows collected to the driver.
+      driver: for each query, the smallest Chebyshev disk holding >= k points
+        gives a PROVABLE upper bound U on the k-th distance
+        (_kth_dist_upper_bound_m); candidate cells are the OCCUPIED cells
+        whose minimum possible distance (_cell_min_dist_m) is <= U — any
+        point outside them is provably farther than the k-th neighbor.
+      job 2: broadcast equi-join on cell + exact haversine + window top-k.
 
-    Termination: per query, stop when k neighbors found AND the k-th
-    distance <= ring safe bound; globally capped at max_rounds with a final
-    correctness fallback to brute force for still-unresolved queries.
+    Worst case (query at a pole, or fewer than k points in total) degrades to
+    an equi-join against ALL occupied cells — one full scan, never a
+    cartesian product. The fact table is never shuffled: the probe aggregates
+    map-side and the candidate join broadcasts the (bounded) cell list.
+
+    queries_pdf: pandas DataFrame (query_id, lon, lat), small by construction.
+    Output: (query_id, neighbor_id, rank, dist_m), rank ties broken by
+    neighbor id (SURVEY.md O1 determinism).
     """
+    if res > 10:
+        raise ValueError("probe collects up to 4^res cell counts; keep res <= 10")
+    nid_type = points.schema[point_id].dataType.simpleString()
+    out_schema = f"{query_id} long, neighbor_id {nid_type}, rank int, dist_m double"
+    if len(queries_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
     qids = queries_pdf[query_id].to_numpy()
     qlon = queries_pdf["lon"].to_numpy(dtype=np.float64)
     qlat = queries_pdf["lat"].to_numpy(dtype=np.float64)
-    qcell = C.cell_encode(qlon, qlat, res)
 
     pts = points.withColumn("_cell", C.cell_expr(F.col("lon"), F.col("lat"), res))
+    counts_pdf = pts.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    cells = counts_pdf["_cell"].to_numpy(dtype=np.int64)
+    counts = counts_pdf["n"].to_numpy(dtype=np.int64)
+    if len(cells) == 0:
+        return spark.createDataFrame([], out_schema)
 
-    unresolved = np.ones(len(qids), dtype=bool)
-    results: list[pd.DataFrame] = []
-    r = 1
-    for _ in range(max_rounds):
-        if not unresolved.any():
-            break
-        # candidate cells for all unresolved queries at ring radius r
-        cand = []
-        for i in np.nonzero(unresolved)[0]:
-            cells_i = C.grid_disk(int(qcell[i]), r)
-            cand.append(
-                pd.DataFrame(
-                    {
-                        query_id: qids[i],
-                        "_ccell": cells_i,
-                        "_qlon": qlon[i],
-                        "_qlat": qlat[i],
-                    }
-                )
+    n_grid = 1 << res
+    cx, cy = C.cell_to_xy(cells)
+    lon0, lat0, lon1, lat1 = C.cell_bounds(cells)
+    qx, qy = C.latlon_to_xy(qlon, qlat, res)
+
+    cand_frames: list[pd.DataFrame] = []
+    for i in range(len(qids)):
+        dx = np.abs(cx - qx[i])
+        cheb = np.maximum(np.minimum(dx, n_grid - dx), np.abs(cy - qy[i]))
+        order = np.argsort(cheb, kind="stable")
+        cum = np.cumsum(counts[order])
+        pos = np.searchsorted(cum, k)
+        if pos >= len(cum):
+            keep = np.ones(len(cells), dtype=bool)  # < k points total: take all
+        else:
+            u = _kth_dist_upper_bound_m(
+                np.asarray([cheb[order[pos]]], dtype=np.float64), qlat[i : i + 1], res
+            )[0]
+            keep = (
+                _cell_min_dist_m(float(qlon[i]), float(qlat[i]), lon0, lat0, lon1, lat1)
+                <= u
             )
-        cand_df = spark.createDataFrame(pd.concat(cand, ignore_index=True))
-        hits = (
-            pts.join(F.broadcast(cand_df), pts["_cell"] == cand_df["_ccell"], "inner")
-            .select(
-                F.col(query_id),
-                F.col(point_id).alias("neighbor_id"),
-                _haversine_col(
-                    F.col("lon"), F.col("lat"), F.col("_qlon"), F.col("_qlat")
-                ).alias("dist_m"),
+        cand_frames.append(
+            pd.DataFrame(
+                {
+                    query_id: qids[i],
+                    "_ccell": cells[keep],
+                    "_qlon": qlon[i],
+                    "_qlat": qlat[i],
+                }
             )
         )
-        w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
-        topk = (
-            hits.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .toPandas()
-        )
-        for i in np.nonzero(unresolved)[0]:
-            mine = topk[topk[query_id] == qids[i]]
-            if len(mine) >= k:
-                kth = float(mine["dist_m"].max())
-                if kth <= _ring_safe_dist_m(res, r, float(qlat[i])):
-                    results.append(mine)
-                    unresolved[i] = False
-        r *= 2
-    if unresolved.any():
-        # fallback keeps the operator exact even for pathological layouts
-        rest = pd.DataFrame(
-            {query_id: qids[unresolved], "lon": qlon[unresolved], "lat": qlat[unresolved]}
-        )
-        bf = knn_bruteforce(
-            points, spark.createDataFrame(rest), k, point_id=point_id, query_id=query_id
-        ).toPandas()
-        results.append(bf)
-    out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
-        columns=[query_id, "neighbor_id", "rank", "dist_m"]
+    cand_df = spark.createDataFrame(pd.concat(cand_frames, ignore_index=True))
+    hits = pts.join(F.broadcast(cand_df), pts["_cell"] == cand_df["_ccell"], "inner").select(
+        F.col(query_id),
+        F.col(point_id).alias("neighbor_id"),
+        _haversine_col(F.col("lon"), F.col("lat"), F.col("_qlon"), F.col("_qlat")).alias(
+            "dist_m"
+        ),
     )
-    return spark.createDataFrame(out[[query_id, "neighbor_id", "rank", "dist_m"]])
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "dist_m")
+    )

@@ -48,6 +48,21 @@ def test_knn_bruteforce_against_numpy(spark):
         assert mine == exp
 
 
+def test_knn_rings_plan_has_no_cartesian_product(spark):
+    """Scale guard (VERDICT r1 #3): the candidate join must be a broadcast
+    equi-join on cell — no cross join is reachable from knn_rings, even for
+    pathological queries (pole, empty region, k > total points)."""
+    pts = _points_df(spark, 500)
+    queries = pd.DataFrame({"query_id": [0, 1], "lon": [0.0, 5.0], "lat": [89.9, -89.9]})
+    out = K.knn_rings(spark, pts, queries, 600)  # k > n: worst case, all cells
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # still exact in the degenerate case: every query sees all 500 points
+    got = out.groupBy("query_id").count().collect()
+    assert {r["count"] for r in got} == {500}
+
+
 def test_knn_rings_polar_and_sparse(spark):
     """Ring-expansion stays exact where the lon-direction distance bound
     degenerates (high latitude) and in empty-ocean regions."""

@@ -176,6 +176,56 @@ def test_ivf_topk_recall_and_self_match(spark):
     assert self_hits == {(q, q) for q in range(8)}  # own list always probed
 
 
+def test_embedding_near_dups_banded_recall(spark):
+    """Planted near-dups (cosine >= 0.98) are found through the banded
+    signature join; pairs whose signatures differ in <= max_hamming planes
+    are GUARANTEED candidates (pigeonhole over max_hamming+1 bands) — the
+    r1 single-bucket join missed any pair differing in one bit."""
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.standard_normal((40, dim))
+    # 10 planted near-dup partners: tiny perturbation keeps cosine >= 0.98
+    planted = base[:10] + 0.05 * rng.standard_normal((10, dim))
+    rows = [(i, base[i].astype(np.float32).tolist(), "x") for i in range(40)]
+    rows += [(1000 + i, planted[i].astype(np.float32).tolist(), "x") for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           SIM.embedding_near_dups(df, threshold=0.98, dim=dim).collect()}
+    a = base[:10] / np.linalg.norm(base[:10], axis=1, keepdims=True)
+    b = planted / np.linalg.norm(planted, axis=1, keepdims=True)
+    cos = (a * b).sum(axis=1)
+    # the test itself proves the planted pairs qualify
+    assert (cos >= 0.98).all()
+    # hamming-0 pairs (here: near-identical directions rarely flip a plane;
+    # assert against the signature ground truth, the scheme's guarantee)
+    planes = SIM._hyperplanes(dim, 14, 42)
+    sig_a = ((base[:10] @ planes.T) > 0)
+    sig_b = ((planted @ planes.T) > 0)
+    ham = (sig_a != sig_b).sum(axis=1)
+    for i in range(10):
+        if ham[i] <= 2:  # within the banded radius -> MUST be found
+            assert (i, 1000 + i) in got, f"missed planted pair {i} (hamming {ham[i]})"
+    assert sum((i, 1000 + i) in got for i in range(10)) >= 8  # recall floor
+    # no false positives below threshold
+    emb = {i: base[i] for i in range(40)} | {1000 + i: planted[i] for i in range(10)}
+    for ia, ib in got:
+        va, vb = emb[ia], emb[ib]
+        c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert c >= 0.98 - 1e-9
+
+
+def test_banded_hamming_pairs_narrow_signature(spark):
+    """total_bits-aware banding: a 14-bit signature banded over its OWN 14
+    bits keeps the pigeonhole guarantee without zero-bit collide-all bands."""
+    rows = [("a", 0b10101010101010), ("b", 0b10101010101011),  # 1 bit
+            ("c", 0b10101010100110), ("d", 0b01010101010101)]  # 2 bits, 14 bits
+    df = spark.createDataFrame(rows, "image_id string, sig long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           DD._banded_hamming_pairs(df, "sig", "image_id", 2, total_bits=14).collect()}
+    assert ("a", "b") in got and ("a", "c") in got
+    assert ("a", "d") not in got  # far pair excluded by the exact filter
+
+
 def test_banded_near_dup_complete_recall(spark):
     """Pairs whose differing bits hit ANY band (incl. the top prefix) are
     found — the single-prefix bucketing bug regression."""
