@@ -205,24 +205,6 @@ def build_cover_df(regions_df: DataFrame, res_lo: int = 7, res_hi: int = 11,
     return regions_df.mapInPandas(gen, COVER_DF_SCHEMA)
 
 
-def probe_cover_res(regions_df: DataFrame, res_lo: int = 7, res_hi: int = 11,
-                    target_cells: int = 4096) -> list[int]:
-    """Distinct cover resolutions for a region set WITHOUT rasterizing:
-    adaptive_cover_res needs only each polygon's bbox, so this probe is a
-    cheap one-pass job (the full cover build is deferred to the join plan)."""
-
-    def gen(pdf_iter):
-        for pdf in pdf_iter:
-            res = [
-                int(G.adaptive_cover_res(G.unpack_rings(bytes(blob)), res_lo, res_hi, target_cells))
-                for blob in pdf["wkb"]
-            ]
-            yield pd.DataFrame({"res": pd.array(res, dtype="int32")})
-
-    rows = regions_df.mapInPandas(gen, "res int").distinct().collect()
-    return sorted(int(r["res"]) for r in rows)
-
-
 def pip_join_partitioned(
     spark: SparkSession,
     points: DataFrame,
@@ -244,16 +226,22 @@ def pip_join_partitioned(
       each group carries its own rings through the join, no driver state,
       no broadcast of geometry.
 
-    No caching: the interior/boundary branches share the candidate join's
-    shuffle exchanges (Spark's ReuseExchange), so the cover is rasterized
-    once in the final plan; the resolution probe (probe_cover_res) reads only
-    bboxes. Long-lived sessions that re-join against the same region set
-    should pre-materialize ``cover_df = build_cover_df(...)`` to parquet and
-    pass it in.
+    The cover is localCheckpoint()ed: the interior/boundary branches cannot
+    share its exchange (the is_boundary filter pushes below the join and
+    makes their cover subtrees differ — verified: the un-checkpointed plan
+    rasterizes twice), and unlike persist() the checkpoint blocks are freed
+    by ContextCleaner when the DataFrame is garbage-collected, so repeated
+    calls in a long-lived session don't leak cache (the r1 persist did).
+    Long-lived sessions that re-join against the same region set should
+    still pre-materialize ``cover_df = build_cover_df(...)`` to parquet and
+    pass it in (also the resilient choice: localCheckpoint blocks die with
+    an executor).
     """
     out_cols = keep_cols or list(points.columns)
-    res_rows = probe_cover_res(regions_df, res_lo, res_hi)
-    cover = cover_df if cover_df is not None else build_cover_df(regions_df, res_lo, res_hi)
+    cover = cover_df if cover_df is not None else (
+        build_cover_df(regions_df, res_lo, res_hi).localCheckpoint()
+    )
+    res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
 
     probe, names = C.with_cell_columns(
         points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]

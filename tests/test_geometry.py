@@ -121,3 +121,23 @@ def test_normalize_rings_antimeridian_property(west, width, lat0, h):
     if not crosses:
         exp = (lon >= west) & (lon <= east) & (lat >= lat0) & (lat <= lat0 + h)
     assert (got == exp).all(), f"west={west} width={width} diffs={np.sum(got != exp)}"
+
+
+def test_tile_assign_oracle_points_clear_boundaries():
+    """Guard for the tile_assign SQL oracle (entry query at z=7): the oracle
+    compares floor() of JVM tan/ln/cos against DuckDB's libm bit-for-bit,
+    which is only robust if no derived point's mercator fraction sits within
+    libm rounding distance of a tile boundary. Asserts a >=1e-9 margin for
+    every sf0.01 customer-derived point, so a 1-ulp libm/JDK difference can
+    never flip a floor()."""
+    M1, M2, MOD = 2654435761, 1566083941, 4294967296
+    keys = np.arange(1, 1501, dtype=np.float64)  # sf0.01 customer keys
+    lon = (keys * M1 % MOD) / MOD * 360.0 - 180.0
+    lat = (keys * M2 + 12345) % MOD / MOD * 170.0 - 85.0
+    n = 1 << 7
+    fx = (lon + 180.0) / 360.0 * n
+    lat_r = np.radians(np.clip(lat, -85.0511287798066, 85.0511287798066))
+    fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+    for f in (fx, fy):
+        frac = np.abs(f - np.round(f))
+        assert frac.min() > 1e-9, f"point within {frac.min()} of a tile boundary"

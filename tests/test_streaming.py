@@ -62,3 +62,22 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert len(out) == 500  # every distinct id exactly once
     assert out["image_id"].is_unique
     assert set(out["image_id"]) == set(ids)
+
+    # bloom mode: CONSTANT per-bucket state; at 500 ids into 2^16-bit filters
+    # the FP probability is ~0, so the replay matches exact mode
+    out_b = SF.run_dedup_replay(
+        spark, src, str(tmp_path / "bckpt"), "dedup_bloom",
+        mode="bloom", bloom_bits=1 << 16, bloom_hashes=7, n_buckets=8,
+    ).toPandas()
+    assert out_b["image_id"].is_unique
+    assert set(out_b["image_id"]) == set(ids)
+    # and the checkpointed state is the fixed filter size, not the id set
+    import pyspark.sql.functions as F
+
+    state = (
+        spark.read.format("statestore")
+        .load(str(tmp_path / "bckpt"))
+        .select(F.length("value.groupState.bloom").alias("sz"))
+        .collect()
+    )
+    assert state and all(r["sz"] == (1 << 16) // 8 for r in state)

@@ -198,7 +198,7 @@ def test_embedding_near_dups_banded_recall(spark):
     assert (cos >= 0.98).all()
     # hamming-0 pairs (here: near-identical directions rarely flip a plane;
     # assert against the signature ground truth, the scheme's guarantee)
-    planes = SIM._hyperplanes(dim, 14, 42)
+    planes = SIM._hyperplanes(dim, 32, 42)
     sig_a = ((base[:10] @ planes.T) > 0)
     sig_b = ((planted @ planes.T) > 0)
     ham = (sig_a != sig_b).sum(axis=1)

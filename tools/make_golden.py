@@ -170,7 +170,7 @@ def _check_embedding_near_dups(pdf: pd.DataFrame, sf_dir: str) -> None:
     all_vecs = np.vstack([vecs, vecs[keep]])
     all_ids = np.concatenate([vids, vids[keep] + 1000000])
     rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((10, all_vecs.shape[1]))
+    planes = rng.standard_normal((32, all_vecs.shape[1]))
     sigs = (all_vecs @ planes.T) > 0
     norms = np.linalg.norm(all_vecs, axis=1)
     exp = set()
