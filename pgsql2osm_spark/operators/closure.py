@@ -44,6 +44,7 @@ def parents_of(
     member_type: str,
     parent_kind: str | None = None,
     seeds_broadcastable: bool | None = None,
+    distinct_output: bool = True,
 ) -> DataFrame:
     """Reverse membership join: ids of parents containing any seed id as a
     member of ``member_type`` — the explode + semi-join form of the
@@ -53,6 +54,10 @@ def parents_of(
     seed_ids: DataFrame with column ``id``. Returns distinct parent ids as
     column ``id``. Seed sets are NOT broadcast unless the caller passes
     ``seeds_broadcastable=True`` (see _maybe_broadcast).
+    ``distinct_output=False`` skips the dedup shuffle — for callers that
+    union this output into a set they distinct anyway (nwr_within_closure):
+    every distinct is a shuffle, and chaining them doubles shuffle count for
+    no semantic gain.
     """
     m = memberships
     if parent_kind is not None:
@@ -60,15 +65,12 @@ def parents_of(
     edges = m.select(
         F.col("parent_id"), F.explode("members").alias("mem")
     ).where(F.col("mem.type") == member_type)
-    return (
-        edges.join(
-            _maybe_broadcast(seed_ids.select(F.col("id")), seeds_broadcastable),
-            edges["mem.ref"] == F.col("id"),
-            "left_semi",
-        )
-        .select(F.col("parent_id").alias("id"))
-        .distinct()
-    )
+    out = edges.join(
+        _maybe_broadcast(seed_ids.select(F.col("id")), seeds_broadcastable),
+        edges["mem.ref"] == F.col("id"),
+        "left_semi",
+    ).select(F.col("parent_id").alias("id"))
+    return out.distinct() if distinct_output else out
 
 
 def children_of(
@@ -76,19 +78,21 @@ def children_of(
     parent_ids: DataFrame,
     parent_kind: str | None = None,
     seeds_broadcastable: bool | None = None,
+    distinct_output: bool = True,
 ) -> DataFrame:
     """Forward expansion: (type, id) of all members of the given parents
-    (pgsql2osm.py:292-385, SURVEY.md J5/J6). Returns (kind, id) distinct."""
+    (pgsql2osm.py:292-385, SURVEY.md J5/J6). Returns (kind, id) distinct
+    (skippable like parents_of)."""
     m = memberships
     if parent_kind is not None:
         m = m.where(F.col("parent_kind") == parent_kind)
-    return (
+    out = (
         m.join(_maybe_broadcast(parent_ids.select(F.col("id")), seeds_broadcastable),
                m["parent_id"] == F.col("id"), "left_semi")
         .select(F.explode("members").alias("mem"))
         .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
-        .distinct()
     )
+    return out.distinct() if distinct_output else out
 
 
 def rels_children_closure(
@@ -134,27 +138,32 @@ def rels_children_closure(
             )
             .select(F.explode("members").alias("mem"))
             .select(F.col("mem.type").alias("kind"), F.col("mem.ref").alias("id"))
-            .distinct()
         )
-        collected = members if collected is None else collected.unionByName(members).distinct()
+        collected = members if collected is None else collected.unionByName(members)
+        # duplicate frontier ids are harmless to a semi join's semantics, so
+        # no per-pass distinct — ONE dedup shuffle at the end instead of 2-3
+        # per pass (fixture closure was stage-count-bound, not data-bound)
         frontier = members.where(F.col("kind") == "R").select("id")
-    out = collected
+    out = collected.distinct()
     if without_rels:
         out = out.where(F.col("kind") != "R")
     return out
 
 
 def ways_children_nodes(
-    memberships: DataFrame, way_ids: DataFrame, seeds_broadcastable: bool | None = None
+    memberships: DataFrame,
+    way_ids: DataFrame,
+    seeds_broadcastable: bool | None = None,
+    distinct_output: bool = True,
 ) -> DataFrame:
     """way -> child node ids (pgsql2osm.py:369-385, SURVEY.md J6)."""
-    return (
+    out = (
         children_of(memberships, way_ids, parent_kind="W",
-                    seeds_broadcastable=seeds_broadcastable)
+                    seeds_broadcastable=seeds_broadcastable, distinct_output=False)
         .where(F.col("kind") == "N")
         .select("id")
-        .distinct()
     )
+    return out.distinct() if distinct_output else out
 
 
 def subtract_ids(k_from: DataFrame, k_remove: DataFrame, on: str = "id") -> DataFrame:
@@ -213,25 +222,34 @@ def nwr_within_closure(
 
     ``seeds_broadcastable=True`` marks the three caller seed sets as small
     enough to broadcast; derived frontiers are never forced (_maybe_broadcast).
+
+    Shuffle economy: (a) union everything per entity class FIRST, distinct
+    ONCE (inner operators skip their dedup via distinct_output=False);
+    (b) the multiply-referenced intermediate id-sets (nodes_within x3,
+    rel_members x3, ways_pre_parents x2) are lazily localCheckpoint()ed —
+    without that, every reference re-executes its semi-join subtree against
+    the full membership table (a DataFrame plan, unlike an RDD, is NOT
+    deduplicated across references). Id-sets are orders of magnitude smaller
+    than the membership table, and checkpoint blocks are GC-cleaned.
     """
-    nodes_within = seed_nodes.select("id").distinct()
+    nodes_within = seed_nodes.select("id").distinct().localCheckpoint(eager=False)
 
     rel_members = rels_children_closure(
         memberships, seed_rels, only_multipolygon=only_multipolygon,
         without_rels=without_rels, seeds_broadcastable=seeds_broadcastable,
-    )
+    ).localCheckpoint(eager=False)
     parent_ways = parents_of(memberships, nodes_within, "N", parent_kind="W",
-                             seeds_broadcastable=seeds_broadcastable)
+                             seeds_broadcastable=seeds_broadcastable,
+                             distinct_output=False)
     parent_rels = parents_of(memberships, nodes_within, "N", parent_kind="R",
-                             seeds_broadcastable=seeds_broadcastable)
+                             seeds_broadcastable=seeds_broadcastable,
+                             distinct_output=False)
 
-    # union everything per entity class FIRST, distinct ONCE — each distinct
-    # is a shuffle; chaining union/distinct pairs doubles the shuffle count
-    # for no semantic gain at any scale
     ways_pre_parents = (
         seed_ways.select("id")
         .unionByName(rel_members.where(F.col("kind") == "W").select("id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ways = ways_pre_parents.unionByName(parent_ways).distinct()
     rels = seed_rels.select("id")
@@ -246,7 +264,9 @@ def nwr_within_closure(
         # child nodes of the pre-parents way set only: the reference expands
         # way nodes BEFORE the parents phase, so parent ways contribute no
         # nodes (their geometry is completed by nodes already in the extract)
-        .unionByName(ways_children_nodes(memberships, ways_pre_parents))
+        .unionByName(
+            ways_children_nodes(memberships, ways_pre_parents, distinct_output=False)
+        )
         .distinct()
     )
 

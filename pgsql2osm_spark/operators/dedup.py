@@ -148,6 +148,12 @@ def minhash_lsh_candidates(
     banded = df.select(
         F.col(id_col), F.posexplode(band_digests(F.col(text))).alias("band", "digest")
     )
+    # materialize the signatures ONCE: the subtree appears on both self-join
+    # sides plus the bucket-cap branch, and Spark re-evaluates the (expensive)
+    # signature UDF per occurrence (measured 3-4 ArrowEvalPython stages).
+    # localCheckpoint blocks are GC-cleaned, unlike persist entries. Size is
+    # bands x 2 longs per doc — parquet-materialize instead for 10^12-doc runs.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         oversized = (
             banded.groupBy("band", "digest")
@@ -261,6 +267,10 @@ def _banded_hamming_pairs(
     if total_bits < n_bands:
         raise ValueError(f"need >= {n_bands} bits for hamming radius {max_hamming}")
     band_bits = total_bits // n_bands
+    # evaluate the hash expression once: it feeds 2 join sides x n_bands
+    # branches, and any UDF inside it (simhash fold, LSH signature) would
+    # re-run per occurrence otherwise
+    hashed = hashed.select(F.col(id_col), F.col(hash_col)).localCheckpoint(eager=False)
     pairs = None
     for i in range(n_bands):
         width = band_bits if i < n_bands - 1 else total_bits - band_bits * (n_bands - 1)
