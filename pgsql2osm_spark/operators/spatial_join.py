@@ -215,6 +215,7 @@ def pip_join_partitioned(
     res_hi: int = 11,
     keep_cols: list[str] | None = None,
     cover_df: DataFrame | None = None,
+    broadcast_cover_max_cells: int = 4_000_000,
 ) -> DataFrame:
     """Shuffle-partitioned PIP join — the fallback when the region set is too
     large to broadcast (SURVEY.md J1 'range-partitioned fallback').
@@ -242,13 +243,23 @@ def pip_join_partitioned(
         build_cover_df(regions_df, res_lo, res_hi).localCheckpoint()
     )
     res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
+    # A checkpointed cover has no Catalyst stats (LogicalRDD -> default huge
+    # size), so without a hint the candidate join plans as SMJ and SHUFFLES
+    # the exploded fact side — measured 3x wall regression at 100M points x
+    # 256 regions (the 500M-row probe shuffle against a 7 MB cover). Probe
+    # the real size (count is a block scan post-checkpoint) and broadcast
+    # when it fits; only genuinely giant covers pay the shuffle join.
+    n_cover = cover.count()
+    cover_small = n_cover <= broadcast_cover_max_cells
 
     probe, names = C.with_cell_columns(
         points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]
     )
     probe = probe.withColumn("_cell", F.explode(F.array(*names))).drop(*names)
-    cand = probe.join(cover.select("cell", "region_id", "is_boundary"),
-                      probe["_cell"] == F.col("cell"), "inner")
+    cov_sel = cover.select("cell", "region_id", "is_boundary")
+    if cover_small:
+        cov_sel = F.broadcast(cov_sel)
+    cand = probe.join(cov_sel, probe["_cell"] == F.col("cell"), "inner")
 
     interior = cand.where(~F.col("is_boundary")).select(*out_cols, "region_id")
     boundary = cand.where(F.col("is_boundary")).join(regions_df, "region_id")

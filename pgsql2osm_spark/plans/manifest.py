@@ -100,6 +100,33 @@ def remaining_buckets(
     return all_buckets.join(done, "bucket", "left_anti")
 
 
+def rolling_rate(
+    spark: SparkSession, out_dir: str, job_id: str, window_sec: float = 60.0
+) -> DataFrame:
+    """Rolling throughput per stage: for every manifest append, rows written
+    in the trailing ``window_sec`` divided by the window span — the
+    reference's rolling-window rate logger (log.py:165-230, SURVEY.md A4)
+    lifted from its in-process deque to a range-frame window over
+    partition-completion events, so it works post-hoc on any manifest."""
+    from pyspark.sql.window import Window
+
+    m = read_manifest(spark, out_dir).where(F.col("job_id") == job_id)
+    # range frames take integer bounds: order on millisecond longs
+    m = m.withColumn("_t_ms", (F.col("wrote_at") * 1000.0).cast("long"))
+    w = (
+        Window.partitionBy("stage")
+        .orderBy(F.col("_t_ms"))
+        .rangeBetween(-int(window_sec * 1000), 0)
+    )
+    return m.select(
+        "stage",
+        "bucket",
+        "wrote_at",
+        (F.sum("row_count").over(w) / F.lit(float(window_sec))).alias("rows_per_sec_rolling"),
+        F.count(F.lit(1)).over(w).alias("buckets_in_window"),
+    )
+
+
 def job_progress(spark: SparkSession, out_dir: str, job_id: str) -> DataFrame:
     """Rows/sec + totals per stage from manifest rows — the telemetry view
     (reference: rolling-window rate logger, log.py:165-230)."""

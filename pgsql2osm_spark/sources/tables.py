@@ -41,3 +41,27 @@ def write_partitioned(
     uses explicit directory partitioning, same pruning effect for equality
     predicates on the partition column."""
     df.write.mode("overwrite").partitionBy(partition_col).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    """Save as a hash-BUCKETED catalog table — the parquet analogue of
+    Iceberg `bucket(N, col)` hidden partitioning and the engine's co-located
+    join primitive: two tables bucketed the same way on the join key are
+    joined with ZERO Exchange (each task reads matching bucket files from
+    both sides), which at 10^12 rows removes the single biggest cost of the
+    membership/attribute equi-joins (SURVEY.md J7/J8). sort_col additionally
+    pre-sorts within buckets so sort-merge joins skip the sort.
+
+    Unlike directory partitioning (write_partitioned), bucketing handles
+    high-cardinality keys (cell ids, osm ids) without small-file explosion:
+    rows hash into exactly n_buckets files per write."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

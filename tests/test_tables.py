@@ -1,0 +1,74 @@
+"""Table sources: catalog-or-parquet resolution and bucketed co-located joins."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pgsql2osm_spark.sources import tables as TB
+
+
+def test_load_table_parquet_fallback(spark, tmp_path):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    df.write.parquet(str(tmp_path / "t1.parquet"))
+    got = TB.load_table(spark, "t1", base=str(tmp_path))
+    assert got.count() == 10
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key -> the join plan
+    has NO Exchange (the 100 TB membership-join shape; Iceberg bucket(N, col)
+    analogue). Also checks result parity against a plain join."""
+    n = 20_000
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"cell": rng.integers(0, 500, n), "val": np.arange(n)})
+    )
+    dims = spark.createDataFrame(
+        pd.DataFrame({"cell": np.arange(500), "region": np.arange(500) % 12})
+    )
+    TB.write_bucketed(pts, "t_pts_bucketed", "cell", n_buckets=8, sort_col="cell")
+    TB.write_bucketed(dims, "t_dims_bucketed", "cell", n_buckets=8, sort_col="cell")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # disable broadcast so the co-location (not a broadcast) removes the
+        # shuffle; at real scale neither side fits a broadcast anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.read.table("t_pts_bucketed")
+        b = spark.read.table("t_dims_bucketed")
+        joined = a.join(b, "cell")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        got = joined.groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()
+        exp = (
+            pts.join(dims, "cell").groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        assert {(r["region"], r["n"]) for r in got} == {(r["region"], r["n"]) for r in exp}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pts_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_dims_bucketed")
+
+
+def test_rolling_rate_telemetry(spark, tmp_path):
+    """A4: rolling rows/sec over a trailing window of manifest events."""
+    import os
+
+    from pgsql2osm_spark.plans import manifest as M
+
+    rows = [
+        ("j1", "tiles", b, 100 * (b + 1), "", 1000.0 + 10.0 * b) for b in range(6)
+    ]
+    mdir = str(tmp_path / "out")
+    os.makedirs(mdir, exist_ok=True)
+    spark.createDataFrame(rows, M.MANIFEST_SCHEMA).write.parquet(f"{mdir}/_manifest")
+    got = {
+        (r["bucket"], r["buckets_in_window"], r["rows_per_sec_rolling"])
+        for r in M.rolling_rate(spark, mdir, "j1", window_sec=20.0).collect()
+    }
+    # window [-20s, 0]: bucket b sees itself plus up to 2 predecessors
+    exp = set()
+    for b in range(6):
+        in_w = [x for x in range(6) if 0 <= (b - x) * 10.0 <= 20.0]
+        exp.add((b, len(in_w), sum(100 * (x + 1) for x in in_w) / 20.0))
+    assert got == exp
