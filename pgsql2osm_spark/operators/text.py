@@ -155,3 +155,54 @@ def fingerprint_col(text: str = "text") -> Column:
 
 def fingerprint_sql(text: str = "text") -> str:
     return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
+
+
+def ngram_topk(df: DataFrame, n_gram: int = 2, k: int = 20, text: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams with exact counts — the vocabulary/
+    contamination-scan primitive of a training-data pipeline.
+
+    Shape: per-doc gram array as a PROJECTED column (never inline expression
+    trees under Generate — interpreted, ~100x slower), explode the column
+    reference, one map-side-combined groupBy, TakeOrderedAndProject for the
+    top-k. Ties broken by gram text so output is deterministic (O1)."""
+    # tokenization shared with token_count_col so counts and grams agree
+    lowered = df.select(F.transform(tokens_col(text), lambda t: F.lower(t)).alias("toks"))
+    grams = lowered.select(
+        F.when(
+            F.size("toks") >= n_gram,
+            F.transform(
+                F.slice("toks", 1, F.greatest(F.size("toks") - (n_gram - 1), F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    " ", F.array(*[F.col("toks")[i + j] for j in range(n_gram)])
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams")
+    )
+    exploded = grams.select(F.explode("_grams").alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(n_gram: int = 2, k: int = 20, text: str = "text") -> str:
+    """DuckDB equivalent of ngram_topk (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n_gram))
+    return f"""
+        WITH t AS (
+          SELECT CASE WHEN length(trim({text})) = 0 THEN []
+                 ELSE list_transform(string_split_regex(trim({text}), '\\s+'),
+                                     x -> lower(x)) END AS toks
+          FROM documents
+        ), g AS (
+          SELECT unnest(list_transform(range(1, len(toks) - {n_gram - 2}),
+                                       i -> {parts})) AS gram
+          FROM t WHERE len(toks) >= {n_gram}
+        )
+        SELECT gram, count(*) AS n FROM g
+        GROUP BY gram ORDER BY n DESC, gram ASC LIMIT {k}
+    """

@@ -1,0 +1,77 @@
+"""Connected components vs python union-find; deterministic sampling."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pgsql2osm_spark.operators import graph as GR
+from pgsql2osm_spark.operators import sampling as SP
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n_edges = int(rng.integers(30, 120))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 80, size=(n_edges, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["v"]: r["component"] for r in GR.connected_components(df).collect()}
+        exp = _union_find_components(edges)
+        assert got == exp, f"seed {seed}"
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter stress: a 40-node path needs many propagation rounds."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["v"]: r["component"] for r in GR.connected_components(df, max_iter=50).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_dedup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 7), (5, 6)], "id_a long, id_b long")
+    out = GR.dedup_clusters(docs, pairs).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    reps = {r["doc_id"] for r in out if r["is_representative"]}
+    assert comp[0] == comp[3] == comp[7] == 0
+    assert comp[5] == comp[6] == 5
+    assert comp[1] == 1 and comp[9] == 9  # singletons
+    assert reps == {0, 5, 1, 2, 4, 8, 9}
+
+
+def test_sampling_deterministic_across_partitionings(spark):
+    pdf = pd.DataFrame({"doc_id": np.arange(1000), "lang": [f"l{i % 7}" for i in range(1000)]})
+    a = spark.createDataFrame(pdf).repartition(2)
+    b = spark.createDataFrame(pdf).repartition(17, "doc_id")
+    sa = {(r["lang"], r["doc_id"]) for r in SP.stratified_sample_n(a, "lang", "doc_id", 4).collect()}
+    sb = {(r["lang"], r["doc_id"]) for r in SP.stratified_sample_n(b, "lang", "doc_id", 4).collect()}
+    assert sa == sb
+    assert len(sa) == 28  # 7 strata x 4
+    pa = {r["doc_id"] for r in SP.proportional_sample(a, "doc_id", 0.25).collect()}
+    pb = {r["doc_id"] for r in SP.proportional_sample(b, "doc_id", 0.25).collect()}
+    assert pa == pb
+    assert 0.15 < len(pa) / 1000 < 0.35
+    # narrow plan: the proportional filter adds no shuffle and no window
+    base = spark.createDataFrame(pdf)
+    plan = SP.proportional_sample(base, "doc_id", 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan, plan
