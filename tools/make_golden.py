@@ -200,6 +200,7 @@ ORACLE_QUERIES: dict = {
     "ann_ivf": None,
     "streaming_tiles": None,
     "export_pipeline": None,
+    "audio_features": None,  # numpy-parity check lives in tests/test_audio.py
 }
 
 ORACLE_SF = "/root/testdata/sf0.01"
