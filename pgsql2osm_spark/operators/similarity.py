@@ -131,6 +131,54 @@ def lsh_topk(
     )
 
 
+def train_codebook(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 32,
+    sample_max: int = 100_000,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic spherical k-means codebook from a bounded corpus sample.
+
+    Scale shape: the corpus contributes only a DETERMINISTIC hash-ranked
+    sample of <= sample_max vectors (one TakeOrdered job — same arithmetic
+    hash as operators/sampling.py, so the sample is partitioning-invariant
+    and resume-safe); Lloyd iterations then run on the driver in numpy
+    (sample_max * dim floats, bounded). This is the standard IVF bootstrap:
+    train on a sample, assign the full corpus distributed (ivf_topk).
+    Initialization is the first n_centroids sample rows by hash rank —
+    seedless and reproducible. Empty clusters re-seed to the next unused
+    sample vectors, so the codebook always has n_centroids distinct rows.
+    """
+    from .sampling import hash_col
+
+    sample = (
+        corpus.select(F.col(corpus_id).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(hash_col("_id").asc(), F.col("_id").asc())
+        .limit(sample_max)
+        .collect()
+    )
+    m = np.asarray([r["_v"] for r in sample], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    if len(m) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got {len(m)}")
+    cents = m[:n_centroids].copy()
+    next_seed = n_centroids
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members) == 0:
+                cents[c] = m[next_seed % len(m)]
+                next_seed += 1
+            else:
+                v = members.sum(axis=0)
+                cents[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return cents
+
+
 def ivf_topk(
     spark: SparkSession,
     corpus: DataFrame,
@@ -143,19 +191,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: seeded random centroids partition the corpus into
-    inverted lists; queries probe their n_probe nearest centroids and re-rank
-    exactly inside those lists.
+    """IVF-style ANN: centroids partition the corpus into inverted lists;
+    queries probe their n_probe nearest centroids and re-rank exactly inside
+    those lists.
 
-    The centroid set is deterministic (no k-means iterations — at 10^12 rows
-    a sampled/random codebook is the standard bootstrap; swap in trained
-    centroids without touching the dataflow). Corpus assignment is one
-    pandas-UDF pass; the probe join is a broadcast equi-join on centroid id —
-    same scale shape as the cell-cover spatial join (SURVEY.md J1).
+    ``codebook``: pass train_codebook(...) output for a trained quantizer
+    (tighter lists -> better recall at equal n_probe); default is the seeded
+    random codebook (deterministic, zero training cost). Corpus assignment
+    is one pandas-UDF pass; the probe join is a broadcast equi-join on
+    centroid id — same scale shape as the cell-cover spatial join
+    (SURVEY.md J1).
     """
-    cents = _hyperplanes(dim, n_centroids, seed + 1)  # unit-ish random codebook
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if codebook is not None:
+        cents = np.asarray(codebook, dtype=np.float64)
+        if cents.shape != (n_centroids, dim):
+            raise ValueError(f"codebook shape {cents.shape} != ({n_centroids}, {dim})")
+    else:
+        cents = _hyperplanes(dim, n_centroids, seed + 1)  # unit-ish random codebook
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def assign_udf(n_best: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))

@@ -176,6 +176,32 @@ def test_ivf_topk_recall_and_self_match(spark):
     assert self_hits == {(q, q) for q in range(8)}  # own list always probed
 
 
+def test_ivf_trained_codebook_recall_and_determinism(spark):
+    """Sampled-k-means codebook: deterministic across partitionings, and
+    recall at equal n_probe is at least as good as the random codebook."""
+    emb = spark.read.parquet(EMB)
+    cb1 = SIM.train_codebook(emb, dim=64, n_centroids=16, sample_max=500, iters=4)
+    cb2 = SIM.train_codebook(emb.repartition(13), dim=64, n_centroids=16,
+                             sample_max=500, iters=4)
+    assert np.array_equal(cb1, cb2)  # hash-ranked sample, not partition order
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk_bruteforce(emb, queries, 5).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+
+    def recall(codebook):
+        a = SIM.ivf_topk(spark, emb, queries, 5, dim=64, n_centroids=16,
+                         n_probe=4, codebook=codebook).toPandas()
+        s = {(r.query_id, r.neighbor_id) for r in a.itertuples()}
+        return len(e & s) / len(e)
+
+    r_trained = recall(cb1)
+    r_random = recall(None)
+    assert r_trained >= 0.5
+    assert r_trained >= r_random - 0.05, (r_trained, r_random)
+
+
 def test_embedding_near_dups_banded_recall(spark):
     """Planted near-dups (cosine >= 0.98) are found through the banded
     signature join; pairs whose signatures differ in <= max_hamming planes
