@@ -59,6 +59,33 @@ def test_dedup_clusters_representatives(spark):
     assert reps == {0, 5, 1, 2, 4, 8, 9}
 
 
+def test_chunk_assignments_python_model(spark):
+    """Packing coordinates equal a sequential python scan per stream, and
+    the packed stream is gapless: each doc starts exactly where the
+    previous one ended (concat-and-chunk semantics)."""
+    from pgsql2osm_spark.operators import packing as PK
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({"doc_id": np.arange(300), "n_tokens": rng.integers(1, 900, 300)})
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = PK.chunk_assignments(df, "n_tokens", "doc_id", 256, n_streams=8).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    streams = {}
+    for i in range(300):
+        s = (i * 2654435761 % 4294967296) % 8
+        cum = streams.get(s, 0)
+        r = by_id[i]
+        assert r["stream"] == s
+        assert r["chunk"] == cum // 256 and r["offset"] == cum % 256, i
+        streams[s] = cum + int(pdf["n_tokens"][i])
+    # deterministic under partitioning
+    got2 = {(r["doc_id"], r["chunk"], r["offset"])
+            for r in PK.chunk_assignments(
+                spark.createDataFrame(pdf).repartition(3, "doc_id"),
+                "n_tokens", "doc_id", 256, n_streams=8).collect()}
+    assert got2 == {(r["doc_id"], r["chunk"], r["offset"]) for r in got}
+
+
 def test_sampling_deterministic_across_partitionings(spark):
     pdf = pd.DataFrame({"doc_id": np.arange(1000), "lang": [f"l{i % 7}" for i in range(1000)]})
     a = spark.createDataFrame(pdf).repartition(2)
