@@ -120,6 +120,37 @@ def test_cli_osm_rel_id_boundary(spark, pts_path, tmp_path):
     ) == 2
 
 
+def test_cli_regions_csv_dimension(spark, pts_path, tmp_path):
+    """--regions-csv swaps the fixture dimension for a real-shaped file;
+    iso lookup resolves through it to the boundary polygon."""
+    csv = tmp_path / "regions.csv"
+    # |osm_id| - 100000 = 5 -> fixture polygon 5 (the CLI boundary mapping)
+    csv.write_text(
+        "osm_id,name,iso_country,border_type,iso_subcountry,admin_level,wikipedia\n"
+        "-100005,Testland,TL,country,,2,en:x\n"
+    )
+    out = str(tmp_path / "csvdim")
+    assert cli.main(
+        ["--input", pts_path, "--iso", "tl", "--regions-csv", str(csv),
+         "--out", out, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    from pgsql2osm_spark.operators import spatial_join as SJ
+
+    got = {r["image_id"] for r in
+           spark.read.parquet(f"{out}/tiles").select("image_id").collect()}
+    region = [r for r in FX.gen_admin_polygons(64) if r["region_id"] == 5]
+    exp = {r["image_id"] for r in SJ.pip_join(
+        spark, spark.read.parquet(pts_path), region, keep_cols=["image_id"]).collect()}
+    assert got == exp and len(got) > 0
+    # unknown iso through the csv dimension errors like the reference
+    assert cli.main(
+        ["--input", pts_path, "--iso", "zz-99", "--regions-csv", str(csv),
+         "--out", str(tmp_path / "e")],
+        spark=spark,
+    ) == 2
+
+
 def test_cli_no_boundary_is_an_error(spark, pts_path, tmp_path):
     assert cli.main(
         ["--input", pts_path, "--out", str(tmp_path / "nb")], spark=spark

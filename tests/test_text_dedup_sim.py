@@ -71,6 +71,31 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert all(r["jaccard"] > 0.8 for r in ver.collect())
 
 
+def test_minhash_signature_estimates_jaccard():
+    """The statistical contract behind the LSH: signature agreement rate is
+    an unbiased estimate of char-shingle Jaccard. Pure numpy, no Spark."""
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    for overlap in (0.2, 0.5, 0.9):
+        n_shared = int(60 * overlap)
+        shared = list(rng.choice(vocab, size=n_shared, replace=False))
+        rest = [w for w in vocab if w not in shared]
+        a_toks = shared + rest[: 60 - n_shared]
+        b_toks = shared + rest[60 - n_shared : 2 * (60 - n_shared)]
+        a_txt, b_txt = " ".join(sorted(a_toks)), " ".join(sorted(b_toks))
+
+        def shingles(t):
+            b = t.lower().encode()
+            return {b[i : i + 5] for i in range(len(b) - 4)}
+
+        true_j = len(shingles(a_txt) & shingles(b_txt)) / len(
+            shingles(a_txt) | shingles(b_txt)
+        )
+        sig = DD.minhash_signature(pd.Series([a_txt, b_txt]), n_hashes=256)
+        est = (sig[0] == sig[1]).mean()
+        assert abs(est - true_j) < 0.12, (overlap, true_j, est)
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     base = spark.read.parquet(DOCS).limit(20).select("doc_id", "text")
     clone = base.withColumn("doc_id", F.col("doc_id") + 500)
