@@ -59,6 +59,23 @@ def test_dedup_clusters_representatives(spark):
     assert reps == {0, 5, 1, 2, 4, 8, 9}
 
 
+def test_empty_and_degenerate_inputs(spark):
+    """Empty edge lists, empty pair sets, undersized strata, empty packing
+    input — every operator returns a well-formed empty/partial result."""
+    from pgsql2osm_spark.operators import packing as PK
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert GR.connected_components(empty_edges).count() == 0
+    docs = spark.createDataFrame([(i, "t") for i in range(4)], "doc_id long, text string")
+    out = GR.dedup_clusters(docs, empty_edges).collect()
+    assert all(r["component"] == r["doc_id"] and r["is_representative"] for r in out)
+    tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, lang string")
+    got = SP.stratified_sample_n(tiny, "lang", "doc_id", 10).count()
+    assert got == 3  # fewer rows than n: keep them all
+    empty_docs = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert PK.chunk_assignments(empty_docs, "n_tokens", "doc_id", 128).count() == 0
+
+
 def test_chunk_assignments_python_model(spark):
     """Packing coordinates equal a sequential python scan per stream, and
     the packed stream is gapless: each doc starts exactly where the
