@@ -62,6 +62,47 @@ def test_partitioned_pip_join_equals_broadcast_path(spark):
     assert got_set == oracle_assignments(lon, lat, regions)
 
 
+def test_pip_join_random_polygons_property(spark):
+    """Property: for RANDOM simple polygons (star-shaped via angle-sorted
+    radii, optionally with a hole), both PIP paths match an independent
+    division-form even-odd oracle — correctness beyond the fixture set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_golden import _indep_point_in_rings
+
+    n = 2500
+    lon, lat = FX.gen_points_slice(0, n)
+    pts = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat}))
+    for seed in (11, 12, 13):
+        rng = np.random.default_rng(seed)
+        regions = []
+        for rid in range(6):
+            cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+            m = int(rng.integers(5, 14))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+            rad = rng.uniform(5, 25, m)
+            outer = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+            rings = [outer]
+            if rid % 2 == 0:  # punch a hole
+                rings.append(
+                    np.stack(
+                        [cx + 0.3 * rad * np.cos(ang), cy + 0.3 * rad * np.sin(ang)],
+                        axis=1,
+                    )
+                )
+            regions.append({"region_id": rid, "rings": rings})
+        exp = set()
+        for reg in regions:
+            from pgsql2osm_spark.functions import geometry as G
+
+            inside = _indep_point_in_rings(lon, lat, G.normalize_rings(reg["rings"]))
+            exp |= {(int(i), reg["region_id"]) for i in np.nonzero(inside)[0]}
+        got = {(int(r["idx"]), int(r["region_id"]))
+               for r in SJ.pip_join(spark, pts, regions, keep_cols=["idx"]).collect()}
+        assert got == exp, f"seed {seed}: sym-diff {len(got ^ exp)}"
+
+
 def test_pip_join_auto_dispatches_to_partitioned(spark):
     """One entry point: a cover above max_broadcast_cells takes the
     partitioned path automatically (no raise) and still matches the oracle."""
