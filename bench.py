@@ -110,11 +110,11 @@ def run_scaling_pair(
     times = {lo_cores: [], hi_cores: []}
     ratios = []
     for _ in range(rounds):
-        # lo runs ~4x longer and integrates over load bursts; hi is short
-        # enough that a single burst can eat a third of it — best-of-2
-        # rejects that one-sided distortion
+        # SYMMETRIC single trials per level: best-of on only one side of the
+        # ratio would bias the metric upward (noise can only shrink a min).
+        # Outlier rejection comes from the median across rounds instead.
         t_lo = _one_headline_session(lo_cores, n_rows)
-        t_hi = _one_headline_session(hi_cores, n_rows, trials=2)
+        t_hi = _one_headline_session(hi_cores, n_rows)
         times[lo_cores].append(t_lo)
         times[hi_cores].append(t_hi)
         ratios.append(t_lo / (4.0 * t_hi))

@@ -124,7 +124,17 @@ def main(argv=None, spark=None) -> int:
 
         all_regions = FX.gen_admin_polygons(64)
         wanted = {abs(h["osm_id"]) - 100000 for h in hits}
-        region_list = [r for r in all_regions if r["region_id"] in wanted] or all_regions[:1]
+        region_list = [r for r in all_regions if r["region_id"] in wanted]
+        if not region_list:
+            # real dimensions (--regions-csv) carry osm ids with no fixture
+            # polygon — err out like the reference's missing-boundary path
+            # instead of silently substituting an arbitrary region
+            print(
+                f"iso {args.iso!r} resolved to osm ids with no boundary polygon "
+                f"in this deployment: {sorted(h['osm_id'] for h in hits)}",
+                file=sys.stderr,
+            )
+            return 2
 
     if args.bbox:
         x0, y0, x1, y1 = (float(v) for v in args.bbox.split(","))

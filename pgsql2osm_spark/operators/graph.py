@@ -44,6 +44,7 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=False)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("v", "u"), "u")
@@ -67,6 +68,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning partially-propagated labels would split true
+        # components (and dedup_clusters would keep duplicate representatives)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing — graph diameter exceeds "
+            "max_iter; raise it, or use a star-contraction variant for "
+            "adversarially deep graphs)"
+        )
     return labels.select(F.col("v"), F.col("label").alias("component"))
 
 

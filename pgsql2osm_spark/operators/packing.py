@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .sampling import _MOD, _MULT
+from .sampling import hash_col, hash_sql
 
 
 def chunk_assignments(
@@ -39,7 +39,7 @@ def chunk_assignments(
     id order."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    stream = (F.col(id_col) * F.lit(_MULT) % F.lit(_MOD)) % F.lit(n_streams)
+    stream = hash_col(id_col) % F.lit(n_streams)
     w = (
         Window.partitionBy("stream")
         .orderBy(F.col(id_col).asc())
@@ -62,15 +62,16 @@ def chunk_assignments_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB equivalent (identical integer arithmetic)."""
+    h = hash_sql(id_expr)
     return f"""
         SELECT {id_expr} AS doc_id, stream,
                CAST(cum_before // {max_tokens} AS BIGINT) AS chunk,
                CAST(cum_before % {max_tokens} AS BIGINT) AS "offset"
         FROM (
           SELECT {id_expr},
-                 ((({id_expr}) * {_MULT}) % {_MOD}) % {n_streams} AS stream,
+                 ({h}) % {n_streams} AS stream,
                  coalesce(sum({n_tokens_expr}) OVER (
-                   PARTITION BY ((({id_expr}) * {_MULT}) % {_MOD}) % {n_streams}
+                   PARTITION BY ({h}) % {n_streams}
                    ORDER BY {id_expr} ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
           FROM {table}

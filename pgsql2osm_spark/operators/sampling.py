@@ -18,16 +18,36 @@ from pyspark.sql.window import Window
 
 _MULT = 2654435761  # Knuth multiplicative hash constant (public)
 _MOD = 4294967296
+_LO = 65536  # 2^16 split for overflow-free modular multiply
 
 
 def hash_col(id_col) -> F.Column:
     """Deterministic u32 hash of an integer id — identical arithmetic is
-    expressible in DuckDB SQL (see hash_sql)."""
-    return (F.col(id_col) * F.lit(_MULT)) % F.lit(_MOD)
+    expressible in DuckDB SQL (see hash_sql).
+
+    Overflow-safe under Spark 4 ANSI at ANY long id: a naive id*MULT
+    overflows signed 64-bit for ids above ~3.46e9 (ANSI throws — exactly
+    the 10^12-row regime these operators target), so the multiply runs on
+    the 16-bit split of id mod 2^32: every intermediate stays below 2^49.
+    pmod also normalizes negative ids. For non-negative ids < 2^32 the
+    bits equal the naive (id*MULT) % 2^32."""
+    a = F.pmod(F.col(id_col), F.lit(_MOD))
+    a_hi = F.expr(f"pmod({id_col}, {_MOD}) DIV {_LO}")
+    a_lo = a % F.lit(_LO)
+    return (
+        (a_lo * F.lit(_MULT)) % F.lit(_MOD)
+        + ((a_hi * F.lit(_MULT)) % F.lit(_LO)) * F.lit(_LO)
+    ) % F.lit(_MOD)
 
 
 def hash_sql(id_expr: str) -> str:
-    return f"(({id_expr}) * {_MULT}) % {_MOD}"
+    """DuckDB SQL replicating hash_col bit-for-bit (same split multiply;
+    DuckDB's % keeps the dividend sign, so negatives normalize explicitly)."""
+    a = f"((({id_expr}) % {_MOD} + {_MOD}) % {_MOD})"
+    return (
+        f"((({a} % {_LO}) * {_MULT}) % {_MOD} "
+        f"+ (({a} // {_LO}) * {_MULT} % {_LO}) * {_LO}) % {_MOD}"
+    )
 
 
 def stratified_sample_n(

@@ -160,10 +160,10 @@ def train_codebook(
         .limit(sample_max)
         .collect()
     )
+    if len(sample) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got {len(sample)}")
     m = np.asarray([r["_v"] for r in sample], dtype=np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    if len(m) < n_centroids:
-        raise ValueError(f"need >= {n_centroids} sample vectors, got {len(m)}")
     cents = m[:n_centroids].copy()
     next_seed = n_centroids
     for _ in range(iters):

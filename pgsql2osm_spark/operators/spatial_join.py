@@ -242,15 +242,16 @@ def pip_join_partitioned(
     cover = cover_df if cover_df is not None else (
         build_cover_df(regions_df, res_lo, res_hi).localCheckpoint()
     )
-    res_rows = [r["res"] for r in cover.select("res").distinct().collect()]
-    # A checkpointed cover has no Catalyst stats (LogicalRDD -> default huge
-    # size), so without a hint the candidate join plans as SMJ and SHUFFLES
-    # the exploded fact side — measured 3x wall regression at 100M points x
-    # 256 regions (the 500M-row probe shuffle against a 7 MB cover). Probe
-    # the real size (count is a block scan post-checkpoint) and broadcast
-    # when it fits; only genuinely giant covers pay the shuffle join.
-    n_cover = cover.count()
-    cover_small = n_cover <= broadcast_cover_max_cells
+    # ONE probe job yields both the distinct resolutions and the total cell
+    # count. The count matters because a checkpointed cover has no Catalyst
+    # stats (LogicalRDD -> default huge size): without a hint the candidate
+    # join plans as SMJ and SHUFFLES the exploded fact side — measured 3x
+    # wall regression at 100M points x 256 regions (the 500M-row probe
+    # shuffle against a 7 MB cover). Broadcast when it fits; only genuinely
+    # giant covers pay the shuffle join.
+    probe_rows = cover.groupBy("res").agg(F.count(F.lit(1)).alias("_n")).collect()
+    res_rows = [r["res"] for r in probe_rows]
+    cover_small = sum(r["_n"] for r in probe_rows) <= broadcast_cover_max_cells
 
     probe, names = C.with_cell_columns(
         points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]

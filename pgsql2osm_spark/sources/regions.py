@@ -62,6 +62,9 @@ def load_regions_dim(spark: SparkSession, path: str) -> DataFrame:
         "border_type",
         "iso_subcountry",
         F.col("admin_level").cast("int").alias("admin_level"),
+        # file order, so first_match can replicate the reference's
+        # first-row-wins (monotonic ids ascend within a single CSV file)
+        F.monotonically_increasing_id().alias("_file_order"),
     )
 
 
@@ -72,13 +75,20 @@ def regions_lookup(dim: DataFrame, iso: str, first_match: bool = False) -> DataF
     else iso_country.
 
     The reference returns the FIRST exact match in regions.csv file order;
-    ``first_match=True`` replicates that (one row, lowest |osm_id| — the
-    dimension's generation order). The default returns ALL candidates, a
-    deliberate superset useful when one iso code maps to several boundary
-    rows (the caller picks)."""
+    ``first_match=True`` replicates that: dimensions loaded by
+    load_regions_dim carry a _file_order column and win by it, while the
+    generated fixture (no file) falls back to lowest |osm_id| — its
+    generation order. The default returns ALL candidates, a deliberate
+    superset useful when one iso code maps to several boundary rows (the
+    caller picks)."""
     iso = iso.upper().replace("_", "-").lower()
     col = "iso_subcountry" if "-" in iso else "iso_country"
-    out = dim.where(F.lower(F.col(col)) == iso).select("name", "osm_id")
+    matched = dim.where(F.lower(F.col(col)) == iso)
     if first_match:
-        out = out.orderBy(F.abs(F.col("osm_id")).asc()).limit(1)
-    return out
+        order = (
+            F.col("_file_order").asc()
+            if "_file_order" in dim.columns
+            else F.abs(F.col("osm_id")).asc()
+        )
+        matched = matched.orderBy(order).limit(1)
+    return matched.select("name", "osm_id")

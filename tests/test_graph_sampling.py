@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from pgsql2osm_spark.operators import graph as GR
@@ -57,6 +58,35 @@ def test_dedup_clusters_representatives(spark):
     assert comp[5] == comp[6] == 5
     assert comp[1] == 1 and comp[9] == 9  # singletons
     assert reps == {0, 5, 1, 2, 4, 8, 9}
+
+
+def test_hash_overflow_safe_and_duckdb_parity(spark):
+    """ANSI-safe arithmetic hash: ids beyond 2^32 and negative ids hash
+    without overflow, small positive ids keep the r2 golden bits, and the
+    SQL form matches Spark bit-for-bit across the whole range."""
+    import duckdb
+
+    ids = [0, 1, 17, 4_294_967_295, 4_294_967_296, 4_000_000_000_000, -5, -4_000_000_000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", SP.hash_col("doc_id").alias("h")).collect()}
+    # legacy bits preserved for ids in [0, 2^32)
+    for i in (0, 1, 17, 4_294_967_295):
+        assert got[i] == (i * 2654435761) % 4294967296
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    duck = {r[0]: r[1] for r in
+            con.sql(f"SELECT doc_id, {SP.hash_sql('doc_id')} AS h FROM t").fetchall()}
+    assert {k: int(v) for k, v in duck.items()} == got
+    assert all(0 <= v < 4294967296 for v in got.values())
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        GR.connected_components(df, max_iter=3)
 
 
 def test_empty_and_degenerate_inputs(spark):

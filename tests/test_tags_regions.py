@@ -78,9 +78,24 @@ def test_load_regions_dim_csv(spark, tmp_path):
     )
     dim = RG.load_regions_dim(spark, str(csv))
     assert set(dim.columns) == {
-        "osm_id", "name", "iso_country", "border_type", "iso_subcountry", "admin_level"
+        "osm_id", "name", "iso_country", "border_type", "iso_subcountry",
+        "admin_level", "_file_order",
     }
     hit = RG.regions_lookup(dim, "ch", first_match=True).collect()
     assert len(hit) == 1 and hit[0]["osm_id"] == 51701 and hit[0]["name"] == "Switzerland"
     sub = RG.regions_lookup(dim, "ua_53").collect()
     assert len(sub) == 1 and sub[0]["osm_id"] == 91294
+
+
+def test_first_match_uses_file_order_not_osm_id(spark, tmp_path):
+    """Reference parity: first exact match in regions.csv FILE order wins —
+    even when a later row has a smaller |osm_id|."""
+    csv = tmp_path / "dup.csv"
+    csv.write_text(
+        "osm_id,name,iso_country,border_type,iso_subcountry,admin_level\n"
+        "99999,First,XX,nation,,2\n"
+        "11,Second,XX,nation,,2\n"
+    )
+    dim = RG.load_regions_dim(spark, str(csv))
+    hit = RG.regions_lookup(dim, "xx", first_match=True).collect()
+    assert len(hit) == 1 and hit[0]["name"] == "First" and hit[0]["osm_id"] == 99999
