@@ -109,7 +109,8 @@ def run_scaling_pair(
     """
     times = {lo_cores: [], hi_cores: []}
     ratios = []
-    for _ in range(rounds):
+
+    def one_round():
         # SYMMETRIC single trials per level: best-of on only one side of the
         # ratio would bias the metric upward (noise can only shrink a min).
         # Outlier rejection comes from the median across rounds instead.
@@ -118,10 +119,24 @@ def run_scaling_pair(
         times[lo_cores].append(t_lo)
         times[hi_cores].append(t_hi)
         ratios.append(t_lo / (4.0 * t_hi))
-    ratios.sort()
-    med = ratios[len(ratios) // 2] if len(ratios) % 2 else (
-        (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2.0
-    )
+
+    def median():
+        r = sorted(ratios)
+        return r[len(r) // 2] if len(r) % 2 else (r[len(r) // 2 - 1] + r[len(r) // 2]) / 2.0
+
+    for _ in range(rounds):
+        one_round()
+    # Direction-NEUTRAL adaptive sampling: a wide ratio spread means load
+    # bursts hit some rounds (they distort both ways — a burst in the lo leg
+    # inflates the ratio, in the hi leg deflates it); take up to 2 extra
+    # rounds until the spread tightens. The stopping rule never looks at the
+    # median's value, so it cannot bias the reported number; all rounds are
+    # kept (no selective dropping).
+    extra = 0
+    while extra < 2 and (max(ratios) - min(ratios)) > 0.15:
+        one_round()
+        extra += 1
+    med = median()
     mk = lambda cores: {
         "cores": cores,
         "rows": n_rows,
