@@ -81,3 +81,64 @@ def test_stateful_streaming_dedup(spark, tmp_path):
         .collect()
     )
     assert state and all(r["sz"] == (1 << 16) // 8 for r in state)
+
+
+def test_watermark_late_data_contract(spark, tmp_path):
+    """The engine's (= Spark's) append-mode late-data contract, pinned by
+    a 4-micro-batch replay (maxFilesPerTrigger=1, files ordered by mtime):
+    late rows arriving while their window is STILL IN STATE merge into it
+    (no data loss before eviction), rows arriving AFTER the window was
+    evicted+emitted are dropped (numRowsDroppedByWatermark), and every
+    (window, tile) key is emitted EXACTLY once — the exactly-once upsert
+    guarantee downstream tile stores rely on."""
+    import collections
+    import time as _time
+
+    src = str(tmp_path / "lsrc")
+    base = pd.Timestamp("2026-01-01 01:00:00")
+
+    def write(pdf, mode):
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+        _time.sleep(1.1)  # FileStreamSource orders batches by modification time
+
+    lon, lat = FX.gen_points_slice(0, 20)
+    # batch 0: 20 events in window [base, base+5min)
+    write(pd.DataFrame({"ts": [base + pd.Timedelta(seconds=10 * i) for i in range(20)],
+                        "lon": lon, "lat": lat}), "overwrite")
+    # batches 1-2: advance the watermark past the window end (watermark
+    # application lags one batch, so two advancing batches force eviction)
+    lon2, lat2 = FX.gen_points_slice(20, 25)
+    write(pd.DataFrame({"ts": [base + pd.Timedelta(minutes=30)] * 5,
+                        "lon": lon2, "lat": lat2}), "append")
+    lon3, lat3 = FX.gen_points_slice(25, 30)
+    write(pd.DataFrame({"ts": [base + pd.Timedelta(minutes=31)] * 5,
+                        "lon": lon3, "lat": lat3}), "append")
+    # batch 3: 5 rows for the ALREADY-EMITTED window -> must be dropped
+    lon4, lat4 = FX.gen_points_slice(30, 35)
+    write(pd.DataFrame({"ts": [base + pd.Timedelta(minutes=2)] * 5,
+                        "lon": lon4, "lat": lat4}), "append")
+
+    stream = spark.readStream.schema("ts timestamp, lon double, lat double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ST.tile_count_stream(stream, z=10)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("late_test").toPandas()
+    keys = [(str(w["start"]), x, y, h)
+            for w, x, y, h in zip(got["window"], got["x"], got["y"], got["h3"])]
+    assert not [k for k, c in collections.Counter(keys).items() if c > 1]
+    # window-1 emitted with exactly its 20 on-time rows; the 5 post-eviction
+    # rows never re-open it
+    w1 = got[[str(w["start"]) == str(base) for w in got["window"]]]
+    assert int(w1["n"].sum()) == 20
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress for op in p.get("stateOperators", [])
+    )
+    assert dropped == 5, f"expected the 5 post-eviction rows dropped, got {dropped}"
