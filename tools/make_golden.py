@@ -195,6 +195,7 @@ ORACLE_QUERIES: dict = {
     # regression pins — independent checks live in tests/ (see module doc)
     "image_decode_stats": None,
     "simhash": None,
+    "simhash_near_dups": None,
     "minhash_pairs": None,
     "s2_encode": None,
     "ann_ivf": None,
