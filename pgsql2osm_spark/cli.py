@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--regions-csv", default=None,
         help="regions.csv-shaped dimension file for --iso (default: fixture dim)",
     )
+    p.add_argument(
+        "--boundaries", default=None,
+        help="parquet of (region_id long, wkb binary) boundary geometries — the "
+        "deployment contract replacing the fixture polygons: --osm-rel-id/--iso "
+        "resolve REAL geometry from this table (region_id = the osm relation id, "
+        "wkb = geometry.pack_rings bytes; spatial_join.REGIONS_DF_SCHEMA)",
+    )
     p.add_argument("--out", required=True, help="output parquet dir")
     p.add_argument("--zoom", type=int, default=12)
     p.add_argument("--job-id", default="cli")
@@ -91,54 +98,83 @@ def main(argv=None, spark=None) -> int:
         )
     pts = spark.read.parquet(args.input)
 
-    region_list = None
+    region_list = None   # driver-side rings (fixture/geojson/bbox paths)
+    regions_df = None    # distributed (region_id, wkb) boundary rows
     if args.geojson:
         region_list = [{"region_id": 1, "rings": _geojson_rings(args.geojson)}]
     elif args.osm_rel_id is not None:
         # the reference resolves the boundary polygon from the data itself by
-        # relation id (polygon table row osm_id=-rel_id, settings.py:120-126);
-        # the fixture analogue maps rel id 100000+r to fixture polygon r
-        # (deployments swap in a real boundary table here)
-        from .sources import fixtures as FX
+        # relation id (polygon table row osm_id=-rel_id, settings.py:120-126)
+        if args.boundaries:
+            regions_df = spark.read.parquet(args.boundaries).where(
+                F.col("region_id") == args.osm_rel_id
+            )
+            if regions_df.limit(1).count() == 0:
+                print(
+                    f"osm rel id {args.osm_rel_id} not in {args.boundaries}",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            # fixture analogue: rel id 100000+r maps to fixture polygon r
+            from .sources import fixtures as FX
 
-        rid = args.osm_rel_id - 100000
-        matches = [r for r in FX.gen_admin_polygons(64) if r["region_id"] == rid]
-        if not matches:
-            print(f"osm rel id {args.osm_rel_id} has no boundary polygon", file=sys.stderr)
-            return 2
-        region_list = matches
+            rid = args.osm_rel_id - 100000
+            matches = [r for r in FX.gen_admin_polygons(64) if r["region_id"] == rid]
+            if not matches:
+                print(f"osm rel id {args.osm_rel_id} has no boundary polygon", file=sys.stderr)
+                return 2
+            region_list = matches
     elif args.iso:
         dim = (
             RG.load_regions_dim(spark, args.regions_csv)
             if args.regions_csv
             else RG.fixture_regions_dim(spark)
         )
-        hits = RG.regions_lookup(dim, args.iso).collect()
+        # first_match: the reference returns the FIRST exact match in
+        # regions.csv file order (dbutils.py:11-27), not all candidates —
+        # library callers keep the all-candidates default of regions_lookup
+        hits = RG.regions_lookup(dim, args.iso, first_match=True).collect()
         if not hits:
             print(f"iso {args.iso!r} not found", file=sys.stderr)
             return 2
-        # fixture dimension carries no geometry; boundary ids resolve to the
-        # fixture polygons by |osm_id| ordering (deployments swap in a real
-        # boundary table here)
-        from .sources import fixtures as FX
-
-        all_regions = FX.gen_admin_polygons(64)
-        wanted = {abs(h["osm_id"]) - 100000 for h in hits}
-        region_list = [r for r in all_regions if r["region_id"] in wanted]
-        if not region_list:
-            # real dimensions (--regions-csv) carry osm ids with no fixture
-            # polygon — err out like the reference's missing-boundary path
-            # instead of silently substituting an arbitrary region
-            print(
-                f"iso {args.iso!r} resolved to osm ids with no boundary polygon "
-                f"in this deployment: {sorted(h['osm_id'] for h in hits)}",
-                file=sys.stderr,
+        if args.boundaries:
+            # boundary-table contract: region_id = osm relation id
+            wanted_ids = [abs(h["osm_id"]) for h in hits]
+            regions_df = spark.read.parquet(args.boundaries).where(
+                F.col("region_id").isin(wanted_ids)
             )
-            return 2
+            if regions_df.limit(1).count() == 0:
+                print(
+                    f"iso {args.iso!r} resolved to relation ids {wanted_ids} "
+                    f"not present in {args.boundaries}",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            # fixture dimension carries no geometry; boundary ids resolve to
+            # the fixture polygons by |osm_id| ordering
+            from .sources import fixtures as FX
+
+            all_regions = FX.gen_admin_polygons(64)
+            wanted = {abs(h["osm_id"]) - 100000 for h in hits}
+            region_list = [r for r in all_regions if r["region_id"] in wanted]
+            if not region_list:
+                # real dimensions (--regions-csv) carry osm ids with no
+                # fixture polygon — err out like the reference's
+                # missing-boundary path instead of silently substituting
+                print(
+                    f"iso {args.iso!r} resolved to osm ids with no boundary "
+                    f"polygon in this deployment: "
+                    f"{sorted(h['osm_id'] for h in hits)} "
+                    "(pass --boundaries for real geometry)",
+                    file=sys.stderr,
+                )
+                return 2
 
     if args.bbox:
         x0, y0, x1, y1 = (float(v) for v in args.bbox.split(","))
-        if region_list is None:
+        if region_list is None and regions_df is None:
             # bbox alone IS the boundary (rectangle polygon)
             rings = [np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
             region_list = [{"region_id": 1, "rings": rings}]
@@ -151,9 +187,15 @@ def main(argv=None, spark=None) -> int:
                 & (F.col("lat") >= y0) & (F.col("lat") <= y1)
             )
 
-    joined = SJ.pip_join(
-        spark, SJ.pip_join_bbox_prefilter(pts, region_list), region_list
-    )
+    if regions_df is not None:
+        # distributed boundary rows never visit the driver: the partitioned
+        # PIP path builds the cover with mapInPandas and auto-broadcasts it
+        # when small (spatial_join.pip_join_partitioned)
+        joined = SJ.pip_join_partitioned(spark, pts, regions_df)
+    else:
+        joined = SJ.pip_join(
+            spark, SJ.pip_join_bbox_prefilter(pts, region_list), region_list
+        )
     x, y = G.tile_expr(F.col("lon"), F.col("lat"), args.zoom)
     tiles = joined.withColumn("tx", x).withColumn("ty", y).withColumn(
         "bucket", (F.col("tx") * (1 << args.zoom) + F.col("ty")) % 256

@@ -251,7 +251,8 @@ def simhash_fast_col(text: str = "text") -> F.Column:
 
 
 def _banded_hamming_pairs(
-    hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int, total_bits: int = 64
+    hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int, total_bits: int = 64,
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """Complete near-dup candidate generation for ``total_bits``-wide hashes:
     bucket on max_hamming+1 disjoint bit bands and union the per-band bucket
@@ -262,7 +263,19 @@ def _banded_hamming_pairs(
 
     total_bits matters: banding a 14-bit LSH signature over 64 bit positions
     would put all the meaningful bits in band 0 and make the zero-filled
-    bands collide everything (an accidental all-pairs join)."""
+    bands collide everything (an accidental all-pairs join).
+
+    ``max_bucket`` drops band buckets holding more than that many rows
+    BEFORE the per-band self-join — same rationale as the cap in
+    minhash_lsh_candidates: a bucket of b rows costs b^2/2 pairs, and at
+    10^12 docs boilerplate/empty inputs collapse to one hash value (empty
+    text -> simhash 0 by construction), so one degenerate bucket would be a
+    quadratic explosion. Dropping an oversized bucket weakens the pigeonhole
+    COMPLETENESS guarantee only for pairs all of whose shared bands are
+    oversized — i.e. pairs indistinguishable from >max_bucket other rows in
+    every matching band, which is exactly the non-discriminative boilerplate
+    the cap exists to shed (true hash-identical floods still surface through
+    exact_dedup). Pass None to restore unconditional completeness."""
     n_bands = max_hamming + 1
     if total_bits < n_bands:
         raise ValueError(f"need >= {n_bands} bits for hamming radius {max_hamming}")
@@ -277,6 +290,16 @@ def _banded_hamming_pairs(
         shifted = F.shiftrightunsigned(F.col(hash_col), i * band_bits)
         band = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
         h = hashed.select(F.col(id_col), F.col(hash_col)).withColumn("_band", band)
+        if max_bucket is not None:
+            oversized = (
+                h.groupBy("_band")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > max_bucket)
+                .select("_band")
+            )
+            # tiny by construction (each entry stands for > max_bucket rows):
+            # broadcast anti-join, the banded side never shuffles
+            h = h.join(F.broadcast(oversized), ["_band"], "left_anti")
         a, b = h.alias("a"), h.alias("b")
         cand = a.join(
             b,
@@ -294,12 +317,21 @@ def _banded_hamming_pairs(
 
 
 def simhash_near_dups(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    max_bucket: int | None = 65536, drop_empty: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with COMPLETE recall at the given radius
-    (banded multi-table candidate generation + exact hamming filter)."""
+    (banded multi-table candidate generation + exact hamming filter).
+
+    ``drop_empty`` excludes zero-token documents before banding: every empty
+    doc simhashes to 0 (no signal), so at corpus scale they form one
+    degenerate bucket in every band — and empty-vs-empty duplicates are
+    exact duplicates, already owned by exact_dedup. ``max_bucket`` bounds
+    any remaining boilerplate bucket (see _banded_hamming_pairs)."""
+    if drop_empty:
+        df = df.where(F.length(F.trim(F.col(text))) > 0)
     sh = df.select(F.col(id_col), simhash_fast_col(text).alias("simhash"))
-    return _banded_hamming_pairs(sh, "simhash", id_col, max_hamming)
+    return _banded_hamming_pairs(sh, "simhash", id_col, max_hamming, max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -338,11 +370,15 @@ def word_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_near_dups(
+    images: DataFrame, max_hamming: int = 6, max_bucket: int | None = 65536
+) -> DataFrame:
     """Near-duplicate images by perceptual hash — banded complete-recall
-    candidate generation over the phash column of the input_hint schema."""
+    candidate generation over the phash column of the input_hint schema.
+    ``max_bucket`` sheds degenerate buckets (uniform images — black frames,
+    test cards — collapse to one phash; see _banded_hamming_pairs)."""
     ph = images.select("image_id", "phash")
-    return _banded_hamming_pairs(ph, "phash", "image_id", max_hamming)
+    return _banded_hamming_pairs(ph, "phash", "image_id", max_hamming, max_bucket=max_bucket)
 
 
 def rank_dedup_representatives(

@@ -250,6 +250,9 @@ def embedding_near_dups(
     dim: int = 64,
     n_planes: int = 32,
     max_hamming: int = 2,
+    n_tables: int = 2,
+    seed: int = 42,
+    max_bucket: int | None = 65536,
     vec_col: str = "embedding",
     corpus_id: str = "vec_id",
 ) -> DataFrame:
@@ -265,28 +268,39 @@ def embedding_near_dups(
     (VERDICT r1 'what's wrong #4'). Residual miss probability is only for
     pairs whose signatures differ in > max_hamming planes: for cosine >=
     threshold the per-plane flip probability is arccos(threshold)/pi (random
-    hyperplane LSH), so e.g. threshold 0.98, n_planes 32, max_hamming 2
-    leaves P(miss) = P[Binom(32, 0.0641) > 2] ~= 33% per borderline pair
-    (threshold 0.999: ~1%); identical/planted duplicates flip no plane and
-    are always found. n_planes sizes the BUCKETS too: bands are
-    n_planes/(max_hamming+1) bits wide, and a band narrower than ~10 bits
-    (< 1024 buckets) makes every band bucket quadratically large — measured
-    4x wall-time regression at n_planes=10 on 50k vectors. Widen n_planes
-    for sharper buckets; raise max_hamming for recall (more, narrower
-    bands)."""
+    hyperplane LSH), so threshold 0.98, n_planes 32, max_hamming 2 leaves
+    P(miss) = P[Binom(32, 0.0641) > 2] ~= 33% per borderline pair PER TABLE.
+
+    ``n_tables`` INDEPENDENT plane sets (seeds seed+t) fix that borderline
+    recall: a pair is missed only if every table misses it, so the default
+    n_tables=2 drives the 0.98-borderline miss to ~0.33^2 ~= 11% (planted
+    cosine-0.985 pairs: per-table miss ~0.26 -> ~7% union miss, recall
+    >= 0.9 — property-tested). More tables beat more planes here: raising
+    n_planes raises EXPECTED flips linearly (Binom mean = n_planes * p) so
+    recall at fixed max_hamming *drops*; raising max_hamming at fixed
+    n_planes narrows bands below the ~10-bit bucket-discipline floor
+    (measured 4x wall regression at 10-bit bands on 50k vectors). Identical
+    duplicates flip no plane and are found by table 0 alone. Cost is
+    n_tables candidate generations — each still bucketed (never all-pairs),
+    and ``max_bucket`` sheds degenerate buckets (zero vectors sign-collapse)
+    per _banded_hamming_pairs."""
     from .dedup import _banded_hamming_pairs
 
-    sig = lsh_signature_udf(dim, n_planes)
-    c = corpus.select(F.col(corpus_id), F.col(vec_col)).withColumn("_sig", sig(F.col(vec_col)))
-    cand = _banded_hamming_pairs(
-        c.select(F.col(corpus_id), "_sig"), "_sig", corpus_id, max_hamming,
-        total_bits=n_planes,
-    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col))
+    cand = None
+    for t in range(n_tables):
+        sig = lsh_signature_udf(dim, n_planes, seed=seed + t)
+        sigd = c.withColumn("_sig", sig(F.col(vec_col))).select(F.col(corpus_id), "_sig")
+        part = _banded_hamming_pairs(
+            sigd, "_sig", corpus_id, max_hamming,
+            total_bits=n_planes, max_bucket=max_bucket,
+        ).select("id_a", "id_b")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
     a = c.select(F.col(corpus_id).alias("id_a"), F.col(vec_col).alias("_va"))
     b = c.select(F.col(corpus_id).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.select("id_a", "id_b")
-        .join(a, "id_a")
+        cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",

@@ -28,6 +28,8 @@ join fallback is deliberately NOT the default (it would shuffle the planet).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -103,17 +105,30 @@ def pip_join(
     """
     # cheap pre-estimate: covers average ~target_cells per region by
     # construction (adaptive_cover_res aims at target_cells), so a huge
-    # region list skips the driver-side cover build entirely
+    # region list skips the driver-side cover build entirely. The estimate
+    # is an upper bound (tiny polygons cover fewer cells), so it can route a
+    # small-cover region list to the shuffle path unmeasured — log it, and
+    # forward the caller's target_cells/cell_cols so the fallback keeps the
+    # same cover granularity and precomputed probe columns.
     if len(regions) * target_cells > 2 * max_broadcast_cells:
+        print(
+            f"pip_join: pre-estimate {len(regions)} regions x {target_cells} "
+            f"cells > {2 * max_broadcast_cells} — taking the partitioned path "
+            "without building the cover (pass a pre-built cover_df to "
+            "pip_join_partitioned to override)",
+            file=sys.stderr,
+        )
         return pip_join_partitioned(
             spark, points, regions_to_df(spark, regions), lon=lon, lat=lat,
-            res_lo=res_lo, res_hi=res_hi, keep_cols=keep_cols,
+            res_lo=res_lo, res_hi=res_hi, target_cells=target_cells,
+            keep_cols=keep_cols, cell_cols=cell_cols,
         )
     cover_pdf, rings_by_region = build_cover(regions, res_lo, res_hi, target_cells)
     if len(cover_pdf) > max_broadcast_cells:
         return pip_join_partitioned(
             spark, points, regions_to_df(spark, regions), lon=lon, lat=lat,
-            res_lo=res_lo, res_hi=res_hi, keep_cols=keep_cols,
+            res_lo=res_lo, res_hi=res_hi, target_cells=target_cells,
+            keep_cols=keep_cols, cell_cols=cell_cols,
         )
     if cover_pdf.empty:
         out_cols = keep_cols or list(points.columns)
@@ -213,9 +228,12 @@ def pip_join_partitioned(
     lat: str = "lat",
     res_lo: int = 7,
     res_hi: int = 11,
+    target_cells: int = 4096,
     keep_cols: list[str] | None = None,
+    cell_cols: dict[int, str] | None = None,
     cover_df: DataFrame | None = None,
     broadcast_cover_max_cells: int = 4_000_000,
+    refine_salt: int = 16,
 ) -> DataFrame:
     """Shuffle-partitioned PIP join — the fallback when the region set is too
     large to broadcast (SURVEY.md J1 'range-partitioned fallback').
@@ -240,7 +258,7 @@ def pip_join_partitioned(
     """
     out_cols = keep_cols or list(points.columns)
     cover = cover_df if cover_df is not None else (
-        build_cover_df(regions_df, res_lo, res_hi).localCheckpoint()
+        build_cover_df(regions_df, res_lo, res_hi, target_cells).localCheckpoint()
     )
     # ONE probe job yields both the distinct resolutions and the total cell
     # count. The count matters because a checkpointed cover has no Catalyst
@@ -253,10 +271,14 @@ def pip_join_partitioned(
     res_rows = [r["res"] for r in probe_rows]
     cover_small = sum(r["_n"] for r in probe_rows) <= broadcast_cover_max_cells
 
-    probe, names = C.with_cell_columns(
-        points, lon, lat, sorted(res_rows), names=[f"_cell_r{r}" for r in sorted(res_rows)]
+    cell_cols = dict(cell_cols or {})
+    missing = sorted(r for r in res_rows if r not in cell_cols)
+    probe, new_names = C.with_cell_columns(
+        points, lon, lat, missing, names=[f"_cell_r{r}" for r in missing]
     )
-    probe = probe.withColumn("_cell", F.explode(F.array(*names))).drop(*names)
+    cell_cols.update(dict(zip(missing, new_names)))
+    refs = [cell_cols[r] for r in sorted(res_rows)]
+    probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
     cov_sel = cover.select("cell", "region_id", "is_boundary")
     if cover_small:
         cov_sel = F.broadcast(cov_sel)
@@ -278,7 +300,20 @@ def pip_join_partitioned(
         )
         return pdf.loc[inside, [*carry, "region_id"]]
 
-    refined = boundary.groupBy("region_id").applyInPandas(refine, out_schema)
+    # SALTED group key: grouping by bare region_id would put every boundary
+    # candidate of a region through ONE task — a country-sized boundary
+    # crossing a metro cluster (10^8+ candidates at 10^12 points) serializes
+    # the refine stage (VERDICT r2 weak #2). Salting on a hash of the cell id
+    # fans each region into up to refine_salt tasks; the rings are a
+    # per-region CONSTANT carried on every row by the regions_df join, so
+    # every salted group still unpacks them independently. Candidates of one
+    # cell stay together (pmod of the same hash), keeping groups coherent.
+    salt = F.pmod(F.xxhash64(F.col("_cell")), F.lit(refine_salt))
+    refined = (
+        boundary.withColumn("_salt", salt)
+        .groupBy("region_id", "_salt")
+        .applyInPandas(refine, out_schema)
+    )
     return interior.unionByName(refined.select(*out_cols, "region_id"))
 
 

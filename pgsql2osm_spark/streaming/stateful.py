@@ -36,18 +36,28 @@ STATE_SCHEMA = "seen array<string>"
 BLOOM_STATE_SCHEMA = "bloom binary"
 
 
-def _dedup_fn(key, pdf_iter, state: GroupState):
-    seen = set(state.get[0]) if state.exists else set()
-    for pdf in pdf_iter:
-        fresh = pdf[~pdf["image_id"].isin(seen)]
-        # also dedup within the batch itself
-        fresh = fresh.drop_duplicates(subset=["image_id"], keep="first")
-        seen.update(fresh["image_id"].tolist())
-        if len(fresh):
-            out = fresh[["image_id", "lon", "lat"]].copy()
-            out["first_seen"] = True
-            yield out
-    state.update((sorted(seen),))
+def _make_dedup_fn(ttl_ms: int | None = None):
+    def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle bucket expired: drop its seen-set (re-admission risk is
+            # the documented TTL trade — see streaming_dedup)
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            fresh = pdf[~pdf["image_id"].isin(seen)]
+            # also dedup within the batch itself
+            fresh = fresh.drop_duplicates(subset=["image_id"], keep="first")
+            seen.update(fresh["image_id"].tolist())
+            if len(fresh):
+                out = fresh[["image_id", "lon", "lat"]].copy()
+                out["first_seen"] = True
+                yield out
+        state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return fn
 
 
 def _bloom_positions(image_id: str, n_bits: int, n_hashes: int) -> np.ndarray:
@@ -58,8 +68,11 @@ def _bloom_positions(image_id: str, n_bits: int, n_hashes: int) -> np.ndarray:
     return (h1 + np.arange(n_hashes, dtype=np.uint64) * np.uint64(h2)) % np.uint64(n_bits)
 
 
-def _make_bloom_fn(n_bits: int, n_hashes: int):
+def _make_bloom_fn(n_bits: int, n_hashes: int, ttl_ms: int | None = None):
     def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             bits = np.frombuffer(bytes(state.get[0]), dtype=np.uint8).copy()
         else:
@@ -80,6 +93,8 @@ def _make_bloom_fn(n_bits: int, n_hashes: int):
                 out["first_seen"] = True
                 yield out
         state.update((bits.tobytes(),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
     return fn
 
@@ -90,39 +105,88 @@ def streaming_dedup(
     mode: str = "exact",
     bloom_bits: int = 1 << 24,
     bloom_hashes: int = 7,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Emit each image_id at most once across all micro-batches.
 
     mode='exact' guarantees byte-exact dedup with state growing per distinct
     id; mode='bloom' holds state CONSTANT (n_buckets x bloom_bits/8 bytes)
-    and trades a quantified false-positive drop rate (module docstring)."""
+    and trades a quantified false-positive drop rate (module docstring).
+
+    ``ttl_ms`` adds a processing-time timeout per bucket: a bucket whose
+    filter sees no traffic for ttl_ms is DROPPED from the state store (bloom
+    mode bounds state *size* but never *expires* it — a retired id shard
+    would otherwise pin its filter bytes forever). The trade is re-admission:
+    an id re-ingested after its bucket expired is re-emitted as first_seen.
+    Use for sources where ids are time-bucketed (upstream replay windows);
+    leave None for strict at-most-once over all time."""
     keyed = stream.withColumn(
         "_bucket", F.pmod(F.xxhash64("image_id"), F.lit(n_buckets))
     )
     if mode == "bloom":
-        fn, schema = _make_bloom_fn(bloom_bits, bloom_hashes), BLOOM_STATE_SCHEMA
+        fn, schema = _make_bloom_fn(bloom_bits, bloom_hashes, ttl_ms), BLOOM_STATE_SCHEMA
     elif mode == "exact":
-        fn, schema = _dedup_fn, STATE_SCHEMA
+        fn, schema = _make_dedup_fn(ttl_ms), STATE_SCHEMA
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
 def run_dedup_replay(spark, input_dir: str, checkpoint_dir: str, out_table: str,
                      mode: str = "exact", **kw):
-    """Bounded replay harness (availableNow) for tests/demos."""
+    """Bounded replay harness for tests/demos.
+
+    Without a TTL the replay drains via trigger(availableNow) +
+    awaitTermination. WITH a TTL neither that nor processAllAvailable()
+    works: under ProcessingTimeTimeout every execution 'requires another
+    batch' (the processing clock always advances, pending timeouts may
+    fire), so availableNow never terminates (measured: 100+ empty epochs)
+    and noNewData is never signalled. The TTL path instead polls query
+    progress until an EMPTY batch has committed — by then every source file
+    was consumed by an earlier batch — and stops the query explicitly."""
     stream = spark.readStream.schema(
         "image_id string, lon double, lat double"
     ).option("maxFilesPerTrigger", 1).parquet(input_dir)
+    out = streaming_dedup(stream, mode=mode, **kw)
+    if kw.get("ttl_ms") is not None:
+        import time
+
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and TTL scenarios are inherently multi-run (state must age between
+        # replays). Returns the CUMULATIVE rows across all runs so far.
+        sink = f"{checkpoint_dir}/_sink"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp is not None and lp["numInputRows"] == 0:
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError("ttl replay: no empty batch within 120s")
+        finally:
+            q.stop()
+        q.awaitTermination()
+        return spark.read.parquet(sink)
     q = (
-        streaming_dedup(stream, mode=mode, **kw)
-        .writeStream.outputMode("append")
+        out.writeStream.outputMode("append")
         .format("memory")
         .queryName(out_table)
         .option("checkpointLocation", checkpoint_dir)

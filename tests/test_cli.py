@@ -155,3 +155,62 @@ def test_cli_no_boundary_is_an_error(spark, pts_path, tmp_path):
     assert cli.main(
         ["--input", pts_path, "--out", str(tmp_path / "nb")], spark=spark
     ) == 2
+
+
+def test_cli_boundaries_parquet(spark, pts_path, tmp_path):
+    """--boundaries supplies REAL boundary geometry as a (region_id, wkb)
+    parquet table (spatial_join.REGIONS_DF_SCHEMA) — the deployment contract
+    replacing fixture polygons (VERDICT r2 next #3): --osm-rel-id and
+    --iso + --regions-csv both resolve geometry through it end-to-end."""
+    from pgsql2osm_spark.operators import spatial_join as SJ
+
+    # boundary table: fixture polygons 3 and 5 keyed by their RELATION ids
+    regions = [r for r in FX.gen_admin_polygons(64) if r["region_id"] in (3, 5)]
+    bnd = tmp_path / "boundaries"
+    rows = SJ.regions_to_df(spark, regions).collect()
+    spark.createDataFrame(
+        [(100000 + r["region_id"], r["wkb"]) for r in rows],
+        SJ.REGIONS_DF_SCHEMA,
+    ).write.parquet(str(bnd))
+
+    # --osm-rel-id through the boundary table
+    out = str(tmp_path / "brel")
+    assert cli.main(
+        ["--input", pts_path, "--osm-rel-id", "100003",
+         "--boundaries", str(bnd), "--out", out, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    got = {r["image_id"] for r in
+           spark.read.parquet(f"{out}/tiles").select("image_id").collect()}
+    region3 = [r for r in regions if r["region_id"] == 3]
+    exp = {r["image_id"] for r in SJ.pip_join(
+        spark, spark.read.parquet(pts_path), region3, keep_cols=["image_id"]
+    ).collect()}
+    assert got == exp and len(got) > 0
+
+    # --iso through a real csv dimension AND the boundary table
+    csv = tmp_path / "regions.csv"
+    csv.write_text(
+        "osm_id,name,iso_country,border_type,iso_subcountry,admin_level\n"
+        "-100005,Testland,TL,country,,2\n"
+    )
+    out2 = str(tmp_path / "biso")
+    assert cli.main(
+        ["--input", pts_path, "--iso", "tl", "--regions-csv", str(csv),
+         "--boundaries", str(bnd), "--out", out2, "--zoom", "8"],
+        spark=spark,
+    ) == 0
+    got2 = {r["image_id"] for r in
+            spark.read.parquet(f"{out2}/tiles").select("image_id").collect()}
+    region5 = [r for r in regions if r["region_id"] == 5]
+    exp2 = {r["image_id"] for r in SJ.pip_join(
+        spark, spark.read.parquet(pts_path), region5, keep_cols=["image_id"]
+    ).collect()}
+    assert got2 == exp2 and len(got2) > 0
+
+    # a rel id absent from the boundary table errors like the reference
+    assert cli.main(
+        ["--input", pts_path, "--osm-rel-id", "42",
+         "--boundaries", str(bnd), "--out", str(tmp_path / "be")],
+        spark=spark,
+    ) == 2

@@ -289,3 +289,69 @@ def test_banded_near_dup_complete_recall(spark):
     got = {(r["id_a"], r["id_b"]) for r in DD.phash_near_dups(df, max_hamming=2).collect()}
     for i in range(1, 5):
         assert ("h0", f"h{i}") in got, f"missed pair h0-h{i}"
+
+
+def test_banded_hamming_degenerate_bucket_cap(spark):
+    """A 5000-row identical-hash flood (boilerplate collapse) is shed by
+    max_bucket BEFORE the band self-join — bounded candidates instead of
+    O(b^2) pairs — while a true near-dup pair outside the flood survives.
+    The opt-out (max_bucket=None) restores unconditional completeness."""
+    n = 5000
+    # planted pair: high bands nonzero so it does NOT share the flood's
+    # all-zero upper bands (those buckets are oversized and shed)
+    ph = (1 << 40) | (1 << 50)
+    rows = [(i, 12345) for i in range(n)] + [(1000000, ph), (1000001, ph ^ 1)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD._banded_hamming_pairs(df, "h", "doc_id", 2, max_bucket=100).collect()
+    }
+    assert got == {(1000000, 1000001)}
+    small = spark.createDataFrame([(i, 99) for i in range(20)], "doc_id long, h long")
+    allp = DD._banded_hamming_pairs(small, "h", "doc_id", 2, max_bucket=None)
+    assert allp.count() == 20 * 19 // 2  # hamming 0 all-pairs, uncapped
+
+
+def test_simhash_near_dups_drops_empty_docs(spark):
+    """Zero-token docs all simhash to 0 (a degenerate bucket in EVERY band);
+    drop_empty=True (default) excludes them from pairing — empty-vs-empty
+    duplicates belong to exact_dedup — while the opt-out keeps them."""
+    rows = [(1, ""), (2, "   "), (3, "alpha beta gamma"), (4, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in DD.simhash_near_dups(df).collect()}
+    assert got == {(3, 4)}
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dups(df, drop_empty=False).collect()
+    }
+    assert (1, 2) in got2 and (3, 4) in got2
+
+
+def test_embedding_near_dups_borderline_recall(spark):
+    """Multi-table recall at the advertised operating point: planted pairs
+    at cosine ~0.985 (borderline for threshold 0.98) are recovered at
+    >= 0.9 recall by the default two independent plane sets — the single
+    32-plane table's documented ~26% per-pair miss squared away
+    (VERDICT r2 next #5). Deterministic: fixed seeds end to end."""
+    rng = np.random.default_rng(77)
+    dim, n_pairs = 64, 120
+    base = rng.standard_normal((n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # perturb along a random orthogonal direction to hit cosine ~0.985
+    target = 0.985
+    rows = []
+    for i in range(n_pairs):
+        d = rng.standard_normal(dim)
+        d -= (d @ base[i]) * base[i]
+        d /= np.linalg.norm(d)
+        v2 = target * base[i] + np.sqrt(1 - target * target) * d
+        rows.append((2 * i, base[i].tolist()))
+        rows.append((2 * i + 1, v2.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dups(df, threshold=0.98, dim=dim).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    recall = len(got & planted) / n_pairs
+    assert recall >= 0.9, f"borderline recall {recall:.3f} < 0.9"

@@ -169,14 +169,19 @@ def _check_embedding_near_dups(pdf: pd.DataFrame, sf_dir: str) -> None:
     keep = vids < 10
     all_vecs = np.vstack([vecs, vecs[keep]])
     all_ids = np.concatenate([vids, vids[keep] + 1000000])
-    rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((32, all_vecs.shape[1]))
-    sigs = (all_vecs @ planes.T) > 0
+    # default n_tables=2: candidate iff within hamming 2 in EITHER plane set
+    sigs_t = []
+    for seed in (42, 43):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((32, all_vecs.shape[1]))
+        sigs_t.append((all_vecs @ planes.T) > 0)
     norms = np.linalg.norm(all_vecs, axis=1)
     exp = set()
     for i in range(len(all_ids)):
-        ham = (sigs != sigs[i]).sum(axis=1)
-        cand = np.nonzero((ham <= 2) & (all_ids > all_ids[i]))[0]
+        hit = np.zeros(len(all_ids), dtype=bool)
+        for sigs in sigs_t:
+            hit |= (sigs != sigs[i]).sum(axis=1) <= 2
+        cand = np.nonzero(hit & (all_ids > all_ids[i]))[0]
         for j in cand:
             c = float(all_vecs[i] @ all_vecs[j] / (norms[i] * norms[j]))
             if c >= 0.999:
