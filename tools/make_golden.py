@@ -6,11 +6,14 @@ Two sections:
 2. driver-oracle goldens (golden/oracle/*.parquet + golden/fixtures/*) — the
    engine-only queries of __spark_entry__ (multi-res cover, ring kNN, image
    decode, LSH...) pinned to parquet so oracle_sql() can expose them to the
-   driver's DuckDB cross-check. Where an independent recomputation exists
-   (even-odd PIP, haversine kNN, phash hamming, embedding LSH+cosine) the
-   Spark output is VERIFIED against it before pinning; the rest are
-   regression pins whose independent checks live in tests/ (pixel-parity
-   PSNR, kernel parity, planted-dup recall).
+   driver's DuckDB cross-check. 12 of 14 are VERIFIED at generation time
+   against an independent recomputation with a deliberately different
+   formulation (division-form even-odd PIP, atan2 haversine, pure-python
+   xxh64 simhash, scalar FNV/splitmix minhash, asinh mercator, per-bit
+   morton, scalar cube-face s2, python set-closure export, 1-D audio
+   windows); only ann_ivf (float-tie-sensitive argmax) and
+   image_decode_stats (no second PNG decoder in the container) remain
+   regression pins, with their independent checks in tests/.
 
 Usage: python tools/make_golden.py            (test goldens only)
        python tools/make_golden.py --oracle   (both; needs a Spark session)
@@ -190,6 +193,331 @@ def _check_embedding_near_dups(pdf: pd.DataFrame, sf_dir: str) -> None:
     assert got == exp, f"embedding near-dup mismatch: {sorted(got ^ exp)[:6]}"
 
 
+# --- pure-python xxHash64 (public XXH64 spec; seed 42 = Spark's xxhash64
+# default) — scalar reference for the simhash validators, bit-parity with
+# Spark verified on strings incl. empty/multibyte/32+-byte inputs ---
+
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XP4, _XP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + _XP1 + _XP2) & _M64, (seed + _XP2) & _M64, seed & _M64,
+             (seed - _XP1) & _M64]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i:i + 8], "little")
+                i += 8
+                v[j] = (_rotl((v[j] + lane * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for j in range(4):
+            k = (_rotl((v[j] * _XP2) & _M64, 31) * _XP1) & _M64
+            h = ((h ^ k) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl(h ^ k, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ (int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64, 23)
+             * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _XP5) & _M64, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _indep_simhash(text: str) -> int:
+    """Scalar-python simhash: re.split tokens, xxh64 per token, per-bit
+    majority loop — vs the engine's JVM xxhash64 + one vectorized numpy
+    fold over Arrow batches (dedup.simhash_fast_col)."""
+    import re
+
+    t = (text or "").strip().lower()
+    toks = re.split(r"\s+", t) if t else []
+    counts = [0] * 64
+    for tok in toks:
+        h = _xxh64(tok.encode("utf-8"))
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    val = 0
+    for b in range(64):
+        if counts[b] > 0:
+            val |= 1 << b
+    return _signed64(val)
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+
+def _check_simhash(pdf: pd.DataFrame, sf_dir: str) -> None:
+    docs = _docs(sf_dir)
+    exp = {(int(r.doc_id), _indep_simhash(r.text)) for r in docs.itertuples()}
+    got = {(int(r.doc_id), int(r.simhash)) for r in pdf.itertuples()}
+    assert got == exp, f"simhash mismatch: {sorted(got ^ exp)[:4]}"
+
+
+def _check_simhash_near_dups(pdf: pd.DataFrame, sf_dir: str) -> None:
+    docs = _docs(sf_dir)
+    rows = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    rows += [(int(r.doc_id) + 1000000, r.text + " xq")
+             for r in docs.itertuples() if r.doc_id < 15]
+    # drop_empty parity: zero-token docs are excluded before pairing
+    hashed = [(i, _indep_simhash(t)) for i, t in rows if (t or "").strip()]
+    exp = set()
+    for a in range(len(hashed)):
+        for b in range(a + 1, len(hashed)):
+            (ia, ha), (ib, hb) = hashed[a], hashed[b]
+            d = bin((ha ^ hb) & _M64).count("1")
+            if d <= 3:
+                exp.add((min(ia, ib), max(ia, ib), d))
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in pdf.itertuples()}
+    assert got == exp, f"simhash pairs mismatch: {sorted(got ^ exp)[:4]}"
+
+
+def _splitmix_py(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _check_minhash_pairs(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """Scalar per-doc recompute of signature + banding + dict buckets — vs
+    the engine's cross-document vectorized reduceat signature and
+    distributed bucket join (catches window-masking / padding / reduceat
+    offset bugs in the vectorized path)."""
+    n_hashes, bands, k = 64, 8, 5
+    rpb = n_hashes // bands
+    seeds = [_splitmix_py(s) for s in range(1, n_hashes + 1)]
+    docs = _docs(sf_dir)
+    rows = [(int(r.doc_id), r.text) for r in docs.itertuples()]
+    rows += [(int(r.doc_id) + 1000000, r.text + " tail")
+             for r in docs.itertuples() if r.doc_id < 20]
+    buckets: dict = {}
+    for did, text in rows:
+        e = (text or "").lower().encode("utf-8")
+        if len(e) < k:
+            e = e.ljust(k, b"\x00")
+        bases = set()
+        for p in range(len(e) - k + 1):
+            h = 0xCBF29CE484222325
+            for c in e[p:p + k]:
+                h = ((h ^ c) * 0x100000001B3) & _M64
+            bases.add(h)
+        sig = [min(_splitmix_py(b ^ seeds[s]) for b in bases) for s in range(n_hashes)]
+        for band in range(bands):
+            v = band
+            for j in range(rpb):
+                v = _splitmix_py(v ^ sig[band * rpb + j])
+            buckets.setdefault((band, v), []).append(did)
+    exp = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                exp.add((ids[a], ids[b]))
+    got = {(int(r.id_a), int(r.id_b)) for r in pdf.itertuples()}
+    assert got == exp, f"minhash pairs mismatch: {sorted(got ^ exp)[:4]}"
+
+
+def _morton_py(x: int, y: int) -> int:
+    """Per-bit interleave — vs the engine's spread-mask vectorization."""
+    m = 0
+    for b in range(32):
+        m |= ((x >> b) & 1) << (2 * b)
+        m |= ((y >> b) & 1) << (2 * b + 1)
+    return m
+
+
+def _check_streaming_tiles(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """Batch recompute of the watermarked streaming aggregation in plain
+    python: tumbling 5-min windows + z9 slippy tiles (asinh-mercator — a
+    different formulation from the engine's JVM ln(tan+sec)) + res-7
+    equirectangular cells (per-bit morton). The replay drains completely,
+    so the streaming output must equal the batch group-by exactly."""
+    import math
+
+    from pgsql2osm_spark.sources import fixtures as FX2
+
+    n, z, res = 4000, 9, 7
+    lon, lat = FX2.gen_points_slice(0, n)
+    base = pd.Timestamp("2026-01-01")
+    exp: dict = {}
+    nz = 1 << z
+    nr = 1 << res
+    for i in range(n):
+        ts = base + pd.Timedelta(seconds=int(i % 900))
+        wstart = base + pd.Timedelta(seconds=(int(i % 900) // 300) * 300)
+        la = min(max(float(lat[i]), -85.05112878), 85.05112878)
+        xt = min(max(int(math.floor((float(lon[i]) + 180.0) / 360.0 * nz)), 0), nz - 1)
+        merc = math.asinh(math.tan(math.radians(la)))
+        yt = min(max(int(math.floor((1.0 - merc / math.pi) / 2.0 * nz)), 0), nz - 1)
+        # guard: the two mercator formulations must agree (rounding margin)
+        merc2 = math.log(math.tan(math.radians(la)) + 1.0 / math.cos(math.radians(la)))
+        yt2 = min(max(int(math.floor((1.0 - merc2 / math.pi) / 2.0 * nz)), 0), nz - 1)
+        assert yt == yt2, f"mercator formulation flip at point {i}"
+        cx = min(max(int(math.floor((float(lon[i]) + 180.0) / 360.0 * nr)), 0), nr - 1)
+        cy = min(max(int(math.floor((float(lat[i]) + 90.0) / 180.0 * nr)), 0), nr - 1)
+        h3 = _signed64((res << 56) | _morton_py(cx, cy))
+        key = (str(wstart), z, xt, yt, h3)
+        exp[key] = exp.get(key, 0) + 1
+    got = {(r.w_start, int(r.z), int(r.x), int(r.y), int(r.h3)): int(r.n)
+           for r in pdf.itertuples()}
+    assert got == exp, (
+        f"streaming tiles mismatch: {sorted(set(got) ^ set(exp))[:4] or 'counts differ'}"
+    )
+
+
+def _check_export_pipeline(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """Plain-python closure walk + tag merge + coordinate join over the
+    membership fixture — sets, dict merges and loops instead of the engine's
+    joins/windows (closure.nwr_within_closure + attributes.export_rows)."""
+    from pgsql2osm_spark.sources import fixtures as FX2
+
+    mships = FX2.gen_memberships()
+    rels = {r["parent_id"]: r for r in mships if r["parent_kind"] == "R"}
+    ways = {r["parent_id"]: r for r in mships if r["parent_kind"] == "W"}
+    seed_nodes = set(range(1, 120))
+    seed_ways = {503, 507}
+    seed_rels = {9001, 9002, 9006}
+
+    # rels_children_closure: exactly 2 passes, frontier = nested rels
+    collected: set = set()
+    frontier = set(seed_rels)
+    for _ in range(2):
+        members = [(m["type"], m["ref"]) for rid in frontier if rid in rels
+                   for m in rels[rid]["members"]]
+        collected.update(members)
+        frontier = {ref for t, ref in members if t == "R"}
+    parent_ways = {w for w, r in ways.items()
+                   if any(m["type"] == "N" and m["ref"] in seed_nodes for m in r["members"])}
+    parent_rels = {rid for rid, r in rels.items()
+                   if any(m["type"] == "N" and m["ref"] in seed_nodes for m in r["members"])}
+    ways_pre = seed_ways | {ref for t, ref in collected if t == "W"}
+    all_ways = ways_pre | parent_ways
+    all_rels = seed_rels | {ref for t, ref in collected if t == "R"} | parent_rels
+    all_nodes = set(seed_nodes) | {ref for t, ref in collected if t == "N"}
+    for w in ways_pre:   # way-node expansion BEFORE parents (reference order)
+        if w in ways:
+            all_nodes.update(m["ref"] for m in ways[w]["members"] if m["type"] == "N")
+
+    # attribute cascade: parents source (prio 0) then synthetic nodes (prio 1)
+    lon, lat = FX2.gen_points_slice(0, 400)
+    exp = {}
+    for kind, ids in (("N", all_nodes), ("W", all_ways), ("R", all_rels)):
+        for i in sorted(ids):
+            if kind == "N":
+                if not 1 <= i < 400:
+                    continue  # no attribute row -> inner-join drop (J10)
+                tags = {"ele": str(i % 100)}
+                if i % 7 == 0:
+                    tags["amenity"] = "bench"
+                if i > 400:
+                    continue  # no coordinate row
+                exp[("N", i)] = (len(tags), round(float(lon[i - 1]), 10),
+                                 round(float(lat[i - 1]), 10))
+            else:
+                src = ways if kind == "W" else rels
+                if i not in src:
+                    continue  # dangling ref dropped
+                tags = {"fixture": "1", **src[i]["tags"]}
+                exp[(kind, i)] = (len(tags), -999.0, -999.0)
+    got = {(r.kind, int(r.id)): (int(r.n_tags), float(r.lon), float(r.lat))
+           for r in pdf.itertuples()}
+    assert set(got) == set(exp), f"export keys: {sorted(set(got) ^ set(exp))[:6]}"
+    for k in exp:
+        ge, ee = got[k], exp[k]
+        assert ge[0] == ee[0], f"{k}: n_tags {ge[0]} != {ee[0]}"
+        assert abs(ge[1] - ee[1]) < 1e-9 and abs(ge[2] - ee[2]) < 1e-9, f"{k}: coords"
+
+
+def _check_audio_features(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """1-D python/numpy window loops vs the engine's reshaped 2-D batch
+    math inside mapInPandas."""
+    rng = np.random.default_rng(7)
+    exp_keys, exp_vals = set(), {}
+    for i in range(32):
+        n = int(rng.integers(3000, 12000))
+        s = (rng.standard_normal(n) * 4000).astype(np.int16)
+        f = s.astype(np.float64) / 32768.0
+        for w in range(len(f) // 1024):
+            seg = f[w * 1024:(w + 1) * 1024]
+            key = (f"a{i:03d}", w)
+            exp_keys.add(key)
+            exp_vals[key] = (
+                float(np.sqrt((seg * seg).mean())),
+                float((np.diff(np.signbit(seg)) != 0).mean()),
+                float(np.abs(seg).max()),
+            )
+    got_keys = {(r.audio_id, int(r.win)) for r in pdf.itertuples()}
+    assert got_keys == exp_keys, f"audio keys: {sorted(got_keys ^ exp_keys)[:4]}"
+    for r in pdf.itertuples():
+        e = exp_vals[(r.audio_id, int(r.win))]
+        assert (abs(r.rms - e[0]) < 1e-12 and abs(r.zcr - e[1]) < 1e-12
+                and abs(r.peak - e[2]) < 1e-12), f"audio values at {r.audio_id}/{r.win}"
+
+
+def _check_s2(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """Scalar-python cube-face projection + per-bit morton vs the engine's
+    vectorized numpy kernel (cells.s2_encode inside a pandas UDF)."""
+    import math
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey"]]
+    res = 16
+    nn = 1 << res
+    exp = set()
+    for key in cust["c_custkey"]:
+        key = int(key)
+        lo = ((key * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0
+        la = ((key * 1566083941 + 12345) % 4294967296) / 4294967296.0 * 170.0 - 85.0
+        lon_r, lat_r = math.radians(lo), math.radians(la)
+        x = math.cos(lat_r) * math.cos(lon_r)
+        y = math.cos(lat_r) * math.sin(lon_r)
+        z = math.sin(lat_r)
+        ax, ay, az = abs(x), abs(y), abs(z)
+        if ax >= ay and ax >= az:
+            face = 0 if x >= 0 else 3
+        elif ay >= az:
+            face = 1 if y >= 0 else 4
+        else:
+            face = 2 if z >= 0 else 5
+        major = [x, y, z, -x, -y, -z][face]
+        u = [y, -x, -x, -z, -z, y][face] / major
+        v = [z, z, y, y, x, x][face] / major
+
+        def st(q):
+            if q >= 0:
+                return 0.5 * math.sqrt(max(1.0 + 3.0 * q, 0.0))
+            return 1.0 - 0.5 * math.sqrt(max(1.0 - 3.0 * q, 0.0))
+
+        si = min(max(int(st(u) * nn), 0), nn - 1)
+        ti = min(max(int(st(v) * nn), 0), nn - 1)
+        exp.add((key, _signed64((face << 60) | _morton_py(si, ti))))
+    got = {(int(r.id), int(r.s2_16)) for r in pdf.itertuples()}
+    assert got == exp, f"s2 mismatch: {sorted(got ^ exp)[:4]}"
+
+
 # queries pinned as driver oracles: name -> optional independent validator
 ORACLE_QUERIES: dict = {
     "pip_fixture_regions": lambda pdf, sf: _check_pip_counts(pdf, 20000, 12),
@@ -197,16 +525,20 @@ ORACLE_QUERIES: dict = {
     "knn_rings_fixture": lambda pdf, sf: _check_knn_rings(pdf),
     "phash_near_dups": lambda pdf, sf: _check_phash_pairs(pdf),
     "embedding_near_dups": _check_embedding_near_dups,
-    # regression pins — independent checks live in tests/ (see module doc)
+    "simhash": _check_simhash,
+    "simhash_near_dups": _check_simhash_near_dups,
+    "minhash_pairs": _check_minhash_pairs,
+    "s2_encode": _check_s2,
+    "streaming_tiles": _check_streaming_tiles,
+    "export_pipeline": _check_export_pipeline,
+    "audio_features": _check_audio_features,
+    # regression pins — ann_ivf's argmax list assignment is float-tie
+    # sensitive to op order (independent recompute would have to mirror the
+    # engine's matrix expressions, proving nothing); image decode has no
+    # second PNG decoder in this container. Independent checks live in
+    # tests/ (IVF recall floor + determinism; PSNR>=40 pixel parity).
     "image_decode_stats": None,
-    "simhash": None,
-    "simhash_near_dups": None,
-    "minhash_pairs": None,
-    "s2_encode": None,
     "ann_ivf": None,
-    "streaming_tiles": None,
-    "export_pipeline": None,
-    "audio_features": None,  # numpy-parity check lives in tests/test_audio.py
 }
 
 ORACLE_SF = "/root/testdata/sf0.01"
