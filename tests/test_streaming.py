@@ -103,11 +103,12 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
 
     src, ckpt = str(tmp_path / "tsrc"), str(tmp_path / "tckpt")
 
-    def run(name):
+    def run(name, expect_rows):
         # TTL replays return CUMULATIVE rows (parquet sink — the memory sink
         # cannot recover a checkpoint across the multi-run aging this needs)
         out = SF.run_dedup_replay(
-            spark, src, ckpt, name, mode="exact", ttl_ms=1500, n_buckets=2
+            spark, src, ckpt, name, mode="exact", ttl_ms=1500, n_buckets=2,
+            expect_rows=expect_rows,
         ).toPandas()
         return sorted(out["image_id"])
 
@@ -118,15 +119,15 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
         _time.sleep(1.1)  # FileStreamSource orders batches by mtime
 
     write([id_a], "overwrite")
-    assert run("ttl_r1") == [id_a]
+    assert run("ttl_r1", 1) == [id_a]
     _time.sleep(3.0)  # > ttl: id_a's bucket is now idle-expired
     # traffic on the OTHER bucket triggers the timeout sweep for id_a's;
     # within-run duplicates of id_b are still suppressed (its state is live)
     write([id_b, id_b], "append")
-    assert run("ttl_r2") == sorted([id_a, id_b])
+    assert run("ttl_r2", 2) == sorted([id_a, id_b])
     # id_a re-ingested after expiry -> re-emitted (flagged re-admission)
     write([id_a], "append")
-    assert run("ttl_r3") == sorted([id_a, id_a, id_b])
+    assert run("ttl_r3", 1) == sorted([id_a, id_a, id_b])
 
 
 def test_watermark_late_data_contract(spark, tmp_path):
