@@ -13,11 +13,18 @@ over a GiST index) re-expressed for Spark at 10^12-point scale:
      cover resolution (<=5), unioned. No shuffle of the fact table at all:
      broadcast hash join + codegen'd cell computation stream through the scan.
   4. interior-cell matches are DONE (no exact test needed); boundary-cell
-     matches go through the exact even-odd PIP pandas UDF against broadcast
-     rings. This two-stage split is the reference's "AND of ST_Intersects is
+     matches get the exact even-odd PIP via the Arrow pandas UDF. Plan
+     truth (r3, BENCH/PLANS.md): Spark extracts the UDF below the filter,
+     so ALL candidate rows pay the Arrow round-trip even though only
+     boundary rows consult the result — the two measured alternatives
+     (split-cover union: re-executes the scan per branch, 1.6-1.8x worse;
+     pure-Column unrolled refine: leaves codegen, ~9x worse at 134 edges,
+     kept as refine='column' for tiny covers) both lose, and the round-trip
+     is NOT the scaling bottleneck (the gather-shaped hash probe is). The
+     two-stage split remains the reference's "AND of ST_Intersects is
      1000x cheaper than ST_Intersection" staging (settings.py:132-140,
-     SURVEY.md X2) — typically >90% of candidates are interior and skip
-     the Python stage entirely.
+     SURVEY.md X2): >90% of candidates are interior and skip the exact
+     *computation*.
 
 Scale notes (100 TB): the fact side is never shuffled or collected; cover +
 rings are O(regions * cells_per_region) driver/broadcast data (bounded by
@@ -91,8 +98,19 @@ def pip_join(
     keep_cols: list[str] | None = None,
     cell_cols: dict[int, str] | None = None,
     max_broadcast_cells: int = 2_000_000,
+    refine: str = "udf",
+    max_column_edges: int = 64,
 ) -> DataFrame:
     """points x regions -> rows of points inside each region.
+
+    ``refine``: 'udf' (default) refines boundary rows with the Arrow
+    pandas-UDF exact test; 'column' unrolls the even-odd test as a pure
+    Column expression, 'auto' picks 'column' only up to ``max_column_edges``
+    TOTAL edges. MEASURED: at ~130 edges x 12 regions the unrolled
+    expression ran ~9x slower than the Arrow UDF on the 500M-row headline
+    (the giant when-chain leaves whole-stage codegen), so 'udf' stays the
+    default; 'column' only ever pays off for tiny covers (bbox rectangles,
+    a handful of edges).
 
     Returns the point columns (or ``keep_cols``) + ``region_id``. A point in
     k overlapping regions yields k rows (nested admin levels do overlap, as
@@ -137,18 +155,12 @@ def pip_join(
             .withColumn("region_id", F.lit(None).cast("long"))
             .where(F.lit(False))
         )
-    rings_bc = spark.sparkContext.broadcast(
-        {rid: [r for r in rings] for rid, rings in rings_by_region.items()}
-    )
-    pip_udf = udfs.make_pip_udf(rings_bc)
     out_cols = keep_cols or [c for c in points.columns]
 
-    # ONE scan, ONE broadcast join, ONE refine stage. Cell ids embed their
-    # resolution in the high bits, so cells at different cover resolutions
-    # never collide: exploding the (few) per-res cell ids of each point into
-    # a single join key replaces one join per res — and a union whose
-    # branches would each rescan the fact table (measured: the unioned form
-    # cost 4 source scans + 2 Python stages; this form costs 1 + 1).
+    # ONE scan, ONE broadcast join, ONE refine — fused, because the source
+    # subtree is the expensive part (a 100 TB scan, or here heavy synthetic
+    # generation): a branch-per-stage union re-executes it per branch
+    # (measured 1.6-1.8x total wall on the 500M-row headline).
     res_list = [int(r) for r in sorted(cover_pdf["res"].unique())]
     cov = spark.createDataFrame(cover_pdf[["cell", "region_id", "is_boundary"]])
     # Materialize per-res cells as projected columns (single shared Morton
@@ -165,11 +177,32 @@ def pip_join(
     refs = [cell_cols[r] for r in res_list]
     probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
     cand = probe.join(F.broadcast(cov), probe["_cell"] == cov["cell"], "inner")
-    # interior-cell rows pass without the exact test (X2 staging); the
-    # pandas-UDF PIP runs only where a boundary cell made it ambiguous
-    kept = cand.where(
-        (~F.col("is_boundary")) | pip_udf(F.col("region_id"), F.col(lon), F.col(lat))
+    # Interior-cell rows pass without the exact test (X2 staging); the exact
+    # refine for boundary-cell rows is by default a PURE-COLUMN unrolled
+    # even-odd expression (geometry.pip_column): codegen's OR short-circuits
+    # per row, so interior rows never evaluate it and NO Python stage exists.
+    # The r2 pandas-UDF form cost every candidate row the Arrow round-trip —
+    # Spark extracts python UDFs into ArrowEvalPython BELOW the filter, so
+    # `interior OR udf(...)` serialized the whole fact table to Python
+    # (plan-verified; the dominant cost at high core counts). The UDF path
+    # remains for region sets whose unrolled expression would blow codegen
+    # (refine='auto' caps total edge count).
+    n_edges = sum(
+        r.shape[0] for rings in rings_by_region.values()
+        for r in rings if r.shape[0] >= 3
     )
+    if refine == "column" or (refine == "auto" and n_edges <= max_column_edges):
+        exact = G.pip_column(
+            rings_by_region, F.col("region_id"), F.col(lon), F.col(lat)
+        )
+    else:
+        rings_bc = spark.sparkContext.broadcast(
+            {rid: [r for r in rings] for rid, rings in rings_by_region.items()}
+        )
+        exact = udfs.make_pip_udf(rings_bc)(
+            F.col("region_id"), F.col(lon), F.col(lat)
+        )
+    kept = cand.where((~F.col("is_boundary")) | exact)
     return kept.select(*out_cols, "region_id")
 
 

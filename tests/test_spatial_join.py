@@ -197,3 +197,21 @@ def test_partitioned_refine_salted_groups(spark):
         .count()
     )
     assert n_groups >= 4, f"salt fan-out too low: {n_groups}"
+
+
+def test_pip_column_refine_bit_parity(spark):
+    """refine='column' (pure-Column unrolled even-odd, zero Python) is
+    bit-exact with the Arrow-UDF refine and the brute-force oracle — kept
+    for tiny covers only (measured 9x slower at fixture edge counts,
+    BENCH/PLANS.md r3)."""
+    n = 3000
+    lon, lat = FX.gen_points_slice(0, n)
+    regions = FX.gen_admin_polygons(6)
+    pts = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n), "lon": lon, "lat": lat}))
+    a = {(int(r["idx"]), int(r["region_id"])) for r in
+         SJ.pip_join(spark, pts, regions, keep_cols=["idx"], refine="udf").collect()}
+    col_df = SJ.pip_join(spark, pts, regions, keep_cols=["idx"], refine="column")
+    b = {(int(r["idx"]), int(r["region_id"])) for r in col_df.collect()}
+    assert a == b == oracle_assignments(lon, lat, regions)
+    plan = col_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # truly Python-free
