@@ -1,0 +1,242 @@
+"""Corpus-curation operators — decontamination, repetition, PII scrubbing.
+
+The standard training-data curation trio a large-scale pipeline runs after
+dedup/quality (operators/dedup.py, operators/text.py):
+
+* benchmark DECONTAMINATION — drop/flag documents sharing any word n-gram
+  with a held-out evaluation set (the n-gram-overlap method used for LLM
+  training corpora; n=8..13 typical).
+* REPETITION statistics — per-document duplicate n-gram fraction (the
+  Gopher-style repetition filters; a high duplicate fraction marks
+  boilerplate/spam).
+* PII SCRUBBING — regex redaction of emails/phones/IPs with per-document
+  redaction counts.
+
+Scale shapes:
+* n-grams are built per document in ONE Arrow-vectorized pandas stage (no
+  shuffle — the token->gram window formulation costs a full token shuffle,
+  and the pure-HOF formulation evaluates interpreted per element, measured
+  10x slower; BENCH/PLANS.md). The document side never shuffles.
+* decontamination joins exploded doc grams (explode is narrow) against the
+  BROADCAST benchmark gram set with a left-semi join — only the (tiny)
+  contaminated id set ever shuffles; the flag returns via a join that AQE
+  broadcasts when the contaminated set is small.
+* repetition needs no join at all: gram-array size vs distinct size, pure
+  JVM after the gram stage.
+* PII scrubbing is pure JVM regexp_replace/regexp_extract_all — zero
+  Python, zero shuffle.
+
+Reference analogue: the reference has no curation layer (its strings pass
+through tag normalization only, pgsql2osm.py:497-501); these extend the
+engine's first-class training-pipeline surface per the build brief.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Shared per-document word n-grams (one Arrow stage).
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_udf(n: int):
+    """Arrow-batched per-document word n-grams (lowercased, space-joined).
+
+    Tokenization parity: str.split() splits on whitespace runs and drops
+    empties — identical to text.tokens_col's trim + split('\\s+') and to the
+    DuckDB oracle's string_split_regex(trim(x), '\\s+')."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            out.append([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return grams
+
+
+def _ngrams_sql(n: int, text: str = "text") -> str:
+    """DuckDB list-of-grams expression (1-based indexing), matching
+    word_ngrams_udf bit-for-bit."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) END"
+    )
+
+
+def _toks_sql(text: str = "text") -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN [] "
+        f"ELSE list_transform(string_split_regex(trim({text}), '\\s+'), "
+        f"x -> lower(x)) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination.
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with the benchmark corpus.
+
+    Output: docs' (id_col) + ``contaminated`` boolean. The benchmark gram
+    set is distinct'd and BROADCAST (eval sets are small by construction);
+    doc grams explode narrowly into a left-semi join, so the corpus never
+    shuffles — only the contaminated id set (tiny) does, and the flag-back
+    join broadcasts it."""
+    grams = word_ngrams_udf(n)
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text))).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(F.col(id_col), F.explode(grams(F.col(text))).alias("gram"))
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(contaminated, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+def decontaminate_sql(
+    bench_pred: str, n: int = 8, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle: benchmark = documents rows WHERE ``bench_pred``."""
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {_toks_sql(text)} AS toks FROM documents
+        ), g AS (
+          SELECT {id_col}, unnest({_ngrams_sql(n)}) AS gram FROM t
+        ), b AS (
+          SELECT DISTINCT gram FROM g WHERE {bench_pred.format(id=id_col)}
+        ), c AS (
+          SELECT DISTINCT g.{id_col} FROM g JOIN b USING (gram)
+        )
+        SELECT t.{id_col}, (c.{id_col} IS NOT NULL) AS contaminated
+        FROM t LEFT JOIN c USING ({id_col})
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    dup_pct_threshold: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate ``n``-gram stats (Gopher-style repetition).
+
+    Output ints only (oracle-hash-safe): n_grams, n_distinct, and
+    ``repetitive`` = duplicate fraction >= dup_pct_threshold percent,
+    evaluated in integer math. No join, no shuffle — gram stage + JVM
+    array sizes."""
+    grams = word_ngrams_udf(n)
+    g = docs.select(F.col(id_col), grams(F.col(text)).alias("_g"))
+    return g.select(
+        F.col(id_col),
+        F.size("_g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+        (
+            (F.size("_g") > 0)  # a gram-less doc is empty, not repetitive
+            & (
+                (F.size("_g") - F.size(F.array_distinct("_g"))) * 100
+                >= F.size("_g") * dup_pct_threshold
+            )
+        ).alias("repetitive"),
+    )
+
+
+def repetition_sql(
+    n: int = 3, dup_pct_threshold: int = 10, text: str = "text",
+    id_col: str = "doc_id", source: str = "documents",
+) -> str:
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {_toks_sql(text)} AS toks FROM {source}
+        ), g AS (
+          SELECT {id_col}, {_ngrams_sql(n)} AS grams FROM t
+        )
+        SELECT {id_col},
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               len(grams) > 0 AND (len(grams) - len(list_distinct(grams))) * 100
+                 >= len(grams) * {dup_pct_threshold} AS repetitive
+        FROM g ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing.
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) so Spark (Java regex) and
+# DuckDB (RE2) agree; greedy simple classes match identically in both.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9][0-9 -]{7,}[0-9]"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / international-format phones / IPv4s; emit per-doc
+    redaction counts and the scrubbed text's md5 (string-compare-safe).
+
+    Pure JVM regexp columns — zero Python, zero shuffle; order of the three
+    passes matters (email first: its local part may contain digits a phone
+    pattern could nibble) and is mirrored in pii_scrub_sql."""
+    c = F.col(text)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    s1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(s1, F.lit(PHONE_RE), F.lit(0)))
+    s2 = F.regexp_replace(s1, PHONE_RE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(s2, F.lit(IPV4_RE), F.lit(0)))
+    s3 = F.regexp_replace(s2, IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        F.md5(s3).alias("scrubbed_md5"),
+    )
+
+
+def pii_scrub_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
+    e, p, i = EMAIL_RE, PHONE_RE, IPV4_RE
+    s1 = f"regexp_replace({text_expr}, '{e}', '<EMAIL>', 'g')"
+    s2 = f"regexp_replace({s1}, '{p}', '<PHONE>', 'g')"
+    s3 = f"regexp_replace({s2}, '{i}', '<IP>', 'g')"
+    return f"""
+        SELECT {id_col},
+               CAST(len(regexp_extract_all({text_expr}, '{e}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all({s1}, '{p}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all({s2}, '{i}')) AS BIGINT) AS n_ips,
+               md5({s3}) AS scrubbed_md5
+        FROM documents ORDER BY {id_col}
+    """  # noqa: S608 — oracle text, parameters are module constants
