@@ -76,3 +76,83 @@ def proportional_sample(df: DataFrame, id_col: str, fraction: float) -> DataFram
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     return df.where(hash_col(id_col) < F.lit(int(fraction * _MOD)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights_permille: dict[str, int],
+    total_target: int,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-MIXING stage of a
+    training pipeline: downsample each domain so the output approximates
+    ``total_target`` rows distributed per ``weights_permille`` (integer
+    thousandths; domains absent from the dict are dropped).
+
+    Per domain d: n_target_d = total_target * w_d // 1000 and the keep rule
+    is hash(id) < 2^32 * n_target_d // n_d (capped at 2^32 — an
+    under-represented domain keeps everything rather than oversampling;
+    upsampling/repetition is a loader concern, not a corpus transform).
+    ALL math is integer (hash threshold semantics identical in DuckDB — see
+    mixture_sample_sql), so the sample is bit-reproducible on any engine,
+    cluster size, or partition layout.
+
+    Scale shape: one small groupBy for the per-domain counts (map-side
+    combined; domain cardinality is tiny), broadcast back onto the corpus,
+    then a pure narrow hash filter — the fact table never shuffles. Counts
+    are approximate per domain (hash thresholding, like proportional_sample)
+    but unbiased; exact-n mixes go through stratified_sample_n at the cost
+    of a window shuffle."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_nd"))
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights_permille.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    # build _nt (per-domain target rows) first, then the integer threshold —
+    # expression split keeps the arithmetic readable and the tree linear
+    thr = (
+        counts.withColumn("_w", wmap[F.col(domain_col)])
+        .where(F.col("_w").isNotNull())
+        .withColumn("_nt", F.expr(f"CAST({total_target} AS BIGINT) * _w DIV 1000"))
+        .withColumn("_thr", F.least(F.lit(_MOD).cast("long"),
+                                    F.expr(f"CAST({_MOD} AS BIGINT) * _nt DIV _nd")))
+        .select(domain_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), domain_col, "inner")
+        .where(hash_col(id_col) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_sample_sql(
+    domain_expr: str,
+    id_col: str,
+    weights_permille: dict[str, int],
+    total_target: int,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle replicating mixture_sample bit-for-bit (same integer
+    thresholds, same hash)."""
+    wcase = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(weights_permille.items())
+    )
+    return f"""
+        WITH t AS (
+          SELECT *, {domain_expr} AS _dom FROM {source}
+        ), c AS (
+          SELECT _dom, count(*) AS _nd,
+                 CASE _dom {wcase} ELSE NULL END AS _w
+          FROM t GROUP BY _dom
+        ), thr AS (
+          SELECT _dom,
+                 least(CAST({_MOD} AS BIGINT),
+                       CAST({_MOD} AS BIGINT) * (CAST({total_target} AS BIGINT) * _w // 1000) // _nd
+                 ) AS _thr
+          FROM c WHERE _w IS NOT NULL
+        )
+        SELECT t.{id_col}, t._dom AS domain
+        FROM t JOIN thr USING (_dom)
+        WHERE {hash_sql(f"t.{id_col}")} < _thr
+        ORDER BY {id_col}
+    """

@@ -176,3 +176,31 @@ def test_sampling_deterministic_across_partitionings(spark):
     base = spark.createDataFrame(pdf)
     plan = SP.proportional_sample(base, "doc_id", 0.25)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Window" not in plan, plan
+
+
+def test_mixture_sample_deterministic_and_proportioned(spark):
+    """Domain-mixture sampling: output is partitioning-invariant, dropped
+    domains vanish, per-domain keeps approximate the integer targets, and
+    an under-represented domain keeps everything (no oversampling)."""
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"a": 600, "b": 300, "rare": 100}  # 'c' dropped; 'rare' absent
+    out = SP.mixture_sample(df, "lang", "doc_id", w, total_target=200)
+    got = [(r["doc_id"], r["lang"]) for r in out.orderBy("doc_id").collect()]
+    langs = {l for _, l in got}
+    assert langs <= {"a", "b"}
+    n_a = sum(1 for _, l in got if l == "a")
+    n_b = sum(1 for _, l in got if l == "b")
+    # targets: a=120 of 1000, b=60 of 1000 — hash thresholding is unbiased,
+    # allow +-40% tolerance
+    assert 70 <= n_a <= 170 and 35 <= n_b <= 85, (n_a, n_b)
+    got2 = [
+        (r["doc_id"], r["lang"])
+        for r in SP.mixture_sample(df.repartition(17), "lang", "doc_id", w, 200)
+        .orderBy("doc_id").collect()
+    ]
+    assert got == got2  # partitioning-invariant
+    # under-represented domain: target above domain size -> keep all
+    tiny = spark.createDataFrame([(i, "a") for i in range(10)], "doc_id long, lang string")
+    kept = SP.mixture_sample(tiny, "lang", "doc_id", {"a": 1000}, total_target=500)
+    assert kept.count() == 10
