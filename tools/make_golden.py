@@ -478,6 +478,32 @@ def _check_audio_features(pdf: pd.DataFrame, sf_dir: str) -> None:
                 and abs(r.peak - e[2]) < 1e-12), f"audio values at {r.audio_id}/{r.win}"
 
 
+def _check_video_frames(pdf: pd.DataFrame, sf_dir: str) -> None:
+    """Independent python struct-walk of the same fakevideo containers —
+    no engine frame_sample; zlib.crc32 vs the engine's JVM F.crc32."""
+    import struct
+    import zlib
+
+    from pgsql2osm_spark.operators import tiling as TL
+
+    imgs = FX.gen_images_pandas(24, with_pixels=True)
+    exp = set()
+    for v in range(4):
+        frames = [np.asarray(imgs["pixels"][6 * v + i]) for i in range(6)]
+        buf = TL.pack_fakevideo(frames)
+        (n_frames,) = struct.unpack(">I", buf[:4])
+        pos = 4
+        for i in range(n_frames):
+            (ln,) = struct.unpack(">I", buf[pos:pos + 4])
+            frame = buf[pos + 4:pos + 4 + ln]
+            pos += 4 + ln
+            if i % 2 == 0:
+                exp.add((f"vid{v:03d}", i, ln, zlib.crc32(frame) & 0xFFFFFFFF))
+    got = {(r.media_id, int(r.frame_idx), int(r.n_bytes), int(r.crc))
+           for r in pdf.itertuples()}
+    assert got == exp, f"video frames mismatch: {sorted(got ^ exp)[:4]}"
+
+
 def _check_s2(pdf: pd.DataFrame, sf_dir: str) -> None:
     """Scalar-python cube-face projection + per-bit morton vs the engine's
     vectorized numpy kernel (cells.s2_encode inside a pandas UDF)."""
@@ -532,6 +558,7 @@ ORACLE_QUERIES: dict = {
     "streaming_tiles": _check_streaming_tiles,
     "export_pipeline": _check_export_pipeline,
     "audio_features": _check_audio_features,
+    "video_frames": lambda pdf, sf: _check_video_frames(pdf, sf),
     # regression pins — ann_ivf's argmax list assignment is float-tie
     # sensitive to op order (independent recompute would have to mirror the
     # engine's matrix expressions, proving nothing); image decode has no
