@@ -77,3 +77,72 @@ def chunk_assignments_sql(
           FROM {table}
         )
     """
+
+
+def chunk_windows(
+    docs: DataFrame,
+    size: int = 512,
+    overlap: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping token-window coordinates per document.
+
+    Each document of n tokens yields chunks starting at 0, stride, 2*stride
+    (stride = size - overlap), i.e. n_chunks = 1 for n <= size else
+    1 + ceil((n - size) / stride); chunk ends clip to n; zero-token
+    documents yield nothing. Pure integer Column math over a narrow
+    explode — no shuffle, no Python — and bit-replicable in SQL
+    (chunk_windows_sql). Token counts reuse text.tokens_col semantics so
+    chunk coordinates agree with every other token-based operator."""
+    from .text import token_count_col
+
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    d = docs.select(F.col(id_col), token_count_col(text).cast("long").alias("_n"))
+    d = d.where(F.col("_n") > 0).withColumn(
+        "_nc",
+        F.when(F.col("_n") <= size, F.lit(1).cast("long")).otherwise(
+            F.lit(1) + F.expr(f"CAST(_n - {size} + {stride} - 1 AS BIGINT) DIV {stride}")
+        ),
+    )
+    out = d.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.alias("start_tok"),
+        F.least(start + size, F.col("_n")).alias("end_tok"),
+    )
+
+
+def chunk_windows_sql(
+    size: int = 512, overlap: int = 64, text: str = "text",
+    id_col: str = "doc_id", source: str = "documents",
+) -> str:
+    """DuckDB oracle replicating chunk_windows bit-for-bit."""
+    from .text import token_count_sql
+
+    stride = size - overlap
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, CAST({token_count_sql(text)} AS BIGINT) AS n
+          FROM {source}
+        ), c AS (
+          SELECT {id_col}, n,
+                 CASE WHEN n <= {size} THEN 1
+                      ELSE 1 + (n - {size} + {stride} - 1) // {stride} END AS nc
+          FROM t WHERE n > 0
+        ), e AS (
+          SELECT {id_col}, n, unnest(range(0, nc)) AS chunk_idx FROM c
+        )
+        SELECT {id_col}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {stride} AS BIGINT) AS start_tok,
+               CAST(least(chunk_idx * {stride} + {size}, n) AS BIGINT) AS end_tok
+        FROM e ORDER BY {id_col}, chunk_idx
+    """

@@ -204,3 +204,38 @@ def test_mixture_sample_deterministic_and_proportioned(spark):
     tiny = spark.createDataFrame([(i, "a") for i in range(10)], "doc_id long, lang string")
     kept = SP.mixture_sample(tiny, "lang", "doc_id", {"a": 1000}, total_target=500)
     assert kept.count() == 10
+
+
+def test_chunk_windows_python_model(spark):
+    """Overlapping chunk coordinates equal a python scan; empty docs yield
+    nothing; boundaries (n == size, n == size+1) behave per the formula."""
+    from pgsql2osm_spark.operators import packing as PK
+
+    texts = {
+        1: "w " * 10,          # 10 tokens < size
+        2: "w " * 16,          # n == size -> exactly 1 chunk
+        3: "w " * 17,          # n == size+1 -> 2 chunks
+        4: "w " * 100,         # many chunks
+        5: "",                 # empty -> no chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    size, overlap, stride = 16, 4, 12
+    got = {(r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"])
+           for r in PK.chunk_windows(df, size=size, overlap=overlap).collect()}
+    exp = set()
+    for did, t in texts.items():
+        n = len(t.split())
+        if n == 0:
+            continue
+        nc = 1 if n <= size else 1 + -(-(n - size) // stride)
+        for c in range(nc):
+            exp.add((did, c, c * stride, min(c * stride + size, n)))
+    assert got == exp
+    # every token is covered and consecutive chunks overlap by `overlap`
+    for did, t in texts.items():
+        n = len(t.split())
+        spans = sorted((s, e) for d, _, s, e in got if d == did)
+        if n:
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 == e1 - overlap or e1 == n
