@@ -241,6 +241,73 @@ def ngram_topk(df: DataFrame, n_gram: int = 2, k: int = 20, text: str = "text") 
     )
 
 
+def doc_top_terms(
+    df: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the 'what is this document about'
+    primitive (retrieval indexing, topic tagging, cluster labeling).
+
+    score = tf * ln(N / df) with df = number of documents containing the
+    term; ties broken by term text (O1 determinism). Output columns are
+    ints + strings only (doc_id, term, tf, rank) — the float score exists
+    solely to ORDER, and the identical arithmetic runs in the DuckDB oracle
+    (single ln + one division; cross-libm parity holds at oracle scale,
+    same as the mercator ln).
+
+    Scale shape: explode tokens (narrow) -> per-(doc, term) counts (one
+    shuffle, map-side combined) -> term document-frequencies derived from
+    the SAME aggregate (second small shuffle on term) joined back (AQE
+    broadcasts small vocabularies; bucket both sides on term for planetary
+    ones) -> per-doc window for the top-k (third shuffle keyed by doc).
+    Corpus constant N arrives via a 1-row broadcast cross-join, not a
+    driver-side collect — the plan stays a single lazy DAG."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(text)).alias("_t")
+    ).select(F.col(id_col), F.lower(F.col("_t")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", F.col("tf") * F.log(F.col("_n") / F.col("_df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "term", F.col("tf").cast("long").alias("tf"), "rank")
+    )
+
+
+def doc_top_terms_sql(
+    k: int = 3, text: str = "text", id_col: str = "doc_id", source: str = "documents"
+) -> str:
+    """DuckDB oracle for doc_top_terms (identical score arithmetic)."""
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, lower(unnest(CASE WHEN length(trim({text})) = 0
+                 THEN [] ELSE string_split_regex(trim({text}), '\\s+') END)) AS term
+          FROM {source}
+        ), tf AS (
+          SELECT {id_col}, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*) AS _df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT CAST(count(*) AS DOUBLE) AS _n FROM {source}
+        ), scored AS (
+          SELECT tf.{id_col}, tf.term, tf.tf,
+                 tf.tf * ln(_n / _df) AS _score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf,
+               CAST(row_number() OVER (PARTITION BY {id_col}
+                    ORDER BY _score DESC, term ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= {k}
+        ORDER BY {id_col}, rank
+    """
+
+
 def ngram_topk_sql(n_gram: int = 2, k: int = 20, text: str = "text") -> str:
     """DuckDB equivalent of ngram_topk (1-based list indexing)."""
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n_gram))

@@ -13,8 +13,10 @@ import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
 
-# brute-force baselines: tiny broadcast side crossed on purpose
-CROSS_OK = {"knn_planar", "cosine_topk"}
+# brute-force baselines: tiny broadcast side crossed on purpose;
+# doc_top_terms crosses a 1-ROW broadcast (the corpus-count scalar) — the
+# right plan for folding an aggregate constant in without a driver action
+CROSS_OK = {"knn_planar", "cosine_topk", "doc_top_terms"}
 # queries whose plan construction itself runs jobs (iterative/streaming) —
 # linted too, just slower to build
 MAX_PY_STAGES = {
