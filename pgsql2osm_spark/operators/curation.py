@@ -18,9 +18,11 @@ Scale shapes:
   and the pure-HOF formulation evaluates interpreted per element, measured
   10x slower; BENCH/PLANS.md). The document side never shuffles.
 * decontamination joins exploded doc grams (explode is narrow) against the
-  BROADCAST benchmark gram set with a left-semi join — only the (tiny)
-  contaminated id set ever shuffles; the flag returns via a join that AQE
-  broadcasts when the contaminated set is small.
+  benchmark gram set with a left-semi join — BROADCAST when the counted
+  gram set fits (the common eval-suite case; the corpus never shuffles),
+  plain shuffle semi join past max_broadcast_grams. Only the (tiny)
+  contaminated id set ever shuffles back; the flag returns via a join that
+  AQE broadcasts when the contaminated set is small.
 * repetition needs no join at all: gram-array size vs distinct size, pure
   JVM after the gram stage.
 * PII scrubbing is pure JVM regexp_replace/regexp_extract_all — zero
@@ -90,21 +92,38 @@ def decontaminate(
     n: int = 8,
     text: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag documents sharing any word ``n``-gram with the benchmark corpus.
 
-    Output: docs' (id_col) + ``contaminated`` boolean. The benchmark gram
-    set is distinct'd and BROADCAST (eval sets are small by construction);
-    doc grams explode narrowly into a left-semi join, so the corpus never
-    shuffles — only the contaminated id set (tiny) does, and the flag-back
-    join broadcasts it."""
+    Output: docs' (id_col) + ``contaminated`` boolean. Auto-dispatch on the
+    benchmark size (the same measured count-probe pattern as pip_join): the
+    distinct benchmark gram set is counted first — at or below
+    ``max_broadcast_grams`` it is BROADCAST into a left-semi join (eval sets
+    are small by construction, the corpus never shuffles); above it (a user
+    decontaminating against a large held-out corpus — 10^8+ grams would OOM
+    the driver/executors as a broadcast) the semi join runs as a plain
+    shuffle join instead. The gram set is lazily localCheckpoint'ed so the
+    probe count and the join share one computation; its unknown post-
+    checkpoint size stats also stop AQE from re-broadcasting the big set.
+    ``max_broadcast_grams=None`` skips the probe and always broadcasts.
+    Doc grams explode narrowly; only the contaminated id set (tiny)
+    shuffles, and the flag-back join broadcasts it."""
     grams = word_ngrams_udf(n)
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text))).alias("gram")).distinct()
     )
+    if max_broadcast_grams is None:
+        bench_side = F.broadcast(bench_grams)
+    else:
+        bench_grams = bench_grams.localCheckpoint(eager=False)
+        n_bench = bench_grams.count()
+        bench_side = (
+            F.broadcast(bench_grams) if n_bench <= max_broadcast_grams else bench_grams
+        )
     doc_grams = docs.select(F.col(id_col), F.explode(grams(F.col(text))).alias("gram"))
     contaminated = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        doc_grams.join(bench_side, "gram", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))
@@ -154,19 +173,26 @@ def repetition_stats(
 
     Output ints only (oracle-hash-safe): n_grams, n_distinct, and
     ``repetitive`` = duplicate fraction >= dup_pct_threshold percent,
-    evaluated in integer math. No join, no shuffle — gram stage + JVM
-    array sizes."""
+    evaluated in 64-bit integer math (the sizes are cast to long BEFORE the
+    *100 multiply — F.size is 32-bit, and under Spark 4 ANSI a >21.4M-gram
+    document would otherwise throw ArithmeticException instead of flagging).
+    No join, no shuffle — gram stage + JVM array sizes."""
     grams = word_ngrams_udf(n)
     g = docs.select(F.col(id_col), grams(F.col(text)).alias("_g"))
-    return g.select(
+    sized = g.select(
         F.col(id_col),
         F.size("_g").cast("long").alias("n_grams"),
         F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+    )
+    return sized.select(
+        F.col(id_col),
+        "n_grams",
+        "n_distinct",
         (
-            (F.size("_g") > 0)  # a gram-less doc is empty, not repetitive
+            (F.col("n_grams") > 0)  # a gram-less doc is empty, not repetitive
             & (
-                (F.size("_g") - F.size(F.array_distinct("_g"))) * 100
-                >= F.size("_g") * dup_pct_threshold
+                (F.col("n_grams") - F.col("n_distinct")) * 100
+                >= F.col("n_grams") * dup_pct_threshold
             )
         ).alias("repetitive"),
     )
@@ -185,8 +211,9 @@ def repetition_sql(
         SELECT {id_col},
                CAST(len(grams) AS BIGINT) AS n_grams,
                CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-               len(grams) > 0 AND (len(grams) - len(list_distinct(grams))) * 100
-                 >= len(grams) * {dup_pct_threshold} AS repetitive
+               len(grams) > 0 AND
+                 (CAST(len(grams) AS BIGINT) - CAST(len(list_distinct(grams)) AS BIGINT)) * 100
+                 >= CAST(len(grams) AS BIGINT) * {dup_pct_threshold} AS repetitive
         FROM g ORDER BY {id_col}
     """
 

@@ -17,6 +17,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,6 +27,8 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .text import fingerprint_col
+
+_LOG = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Exact dedup.
@@ -118,6 +122,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int | None = 65536,
+    log_shed: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
@@ -130,7 +135,9 @@ def minhash_lsh_candidates(
     pairs; a boilerplate-heavy band digest shared by 1% of a 10^12 corpus
     would otherwise be a quadratic explosion). Dropped buckets are
     non-discriminative by definition — a pair sharing one is overwhelmingly
-    likely to share a smaller one too; pass None to disable the cap."""
+    likely to share a smaller one too; pass None to disable the cap, or
+    ``log_shed=True`` to warn (one small extra job) when buckets were
+    actually dropped."""
     rows_per_band = n_hashes // bands
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -163,6 +170,13 @@ def minhash_lsh_candidates(
         )
         # the oversized list is tiny by construction (each entry represents
         # > max_bucket docs) — broadcast anti-join keeps banded unshuffled
+        if log_shed:
+            n_shed = oversized.count()
+            if n_shed:
+                _LOG.warning(
+                    "minhash LSH: shed %d bucket(s) larger than max_bucket=%d",
+                    n_shed, max_bucket,
+                )
         banded = banded.join(F.broadcast(oversized), ["band", "digest"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -252,7 +266,7 @@ def simhash_fast_col(text: str = "text") -> F.Column:
 
 def _banded_hamming_pairs(
     hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int, total_bits: int = 64,
-    max_bucket: int | None = 65536,
+    max_bucket: int | None = 65536, log_shed: bool = False,
 ) -> DataFrame:
     """Complete near-dup candidate generation for ``total_bits``-wide hashes:
     bucket on max_hamming+1 disjoint bit bands and union the per-band bucket
@@ -275,7 +289,11 @@ def _banded_hamming_pairs(
     oversized — i.e. pairs indistinguishable from >max_bucket other rows in
     every matching band, which is exactly the non-discriminative boilerplate
     the cap exists to shed (true hash-identical floods still surface through
-    exact_dedup). Pass None to restore unconditional completeness."""
+    exact_dedup). Pass None to restore unconditional completeness.
+
+    ``log_shed=True`` additionally counts the shed buckets per band and
+    emits a WARNING when any were dropped (one extra small aggregate job per
+    band — opt-in, per the repo's no-silent-caps convention)."""
     n_bands = max_hamming + 1
     if total_bits < n_bands:
         raise ValueError(f"need >= {n_bands} bits for hamming radius {max_hamming}")
@@ -299,6 +317,14 @@ def _banded_hamming_pairs(
             )
             # tiny by construction (each entry stands for > max_bucket rows):
             # broadcast anti-join, the banded side never shuffles
+            if log_shed:
+                n_shed = oversized.count()
+                if n_shed:
+                    _LOG.warning(
+                        "%s band %d: shed %d bucket(s) larger than max_bucket=%d "
+                        "(recall is conditional for rows confined to shed buckets)",
+                        hash_col, i, n_shed, max_bucket,
+                    )
             h = h.join(F.broadcast(oversized), ["_band"], "left_anti")
         a, b = h.alias("a"), h.alias("b")
         cand = a.join(
@@ -318,20 +344,27 @@ def _banded_hamming_pairs(
 
 def simhash_near_dups(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-    max_bucket: int | None = 65536, drop_empty: bool = True,
+    max_bucket: int | None = 65536, drop_empty: bool = True, log_shed: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash with COMPLETE recall at the given radius
-    (banded multi-table candidate generation + exact hamming filter).
+    """Near-dup pairs by SimHash — CONDITIONALLY complete recall at the
+    given radius: banded multi-table candidate generation + exact hamming
+    filter finds every qualifying pair EXCEPT those whose every shared band
+    bucket exceeds ``max_bucket`` rows (the default 65536 sheds degenerate
+    boilerplate buckets; such pairs are indistinguishable from >max_bucket
+    other rows in all matching bands). Pass ``max_bucket=None`` for the
+    unconditional pigeonhole guarantee, or ``log_shed=True`` to surface
+    when buckets were actually dropped (see _banded_hamming_pairs).
 
     ``drop_empty`` excludes zero-token documents before banding: every empty
     doc simhashes to 0 (no signal), so at corpus scale they form one
     degenerate bucket in every band — and empty-vs-empty duplicates are
-    exact duplicates, already owned by exact_dedup. ``max_bucket`` bounds
-    any remaining boilerplate bucket (see _banded_hamming_pairs)."""
+    exact duplicates, already owned by exact_dedup."""
     if drop_empty:
         df = df.where(F.length(F.trim(F.col(text))) > 0)
     sh = df.select(F.col(id_col), simhash_fast_col(text).alias("simhash"))
-    return _banded_hamming_pairs(sh, "simhash", id_col, max_hamming, max_bucket=max_bucket)
+    return _banded_hamming_pairs(
+        sh, "simhash", id_col, max_hamming, max_bucket=max_bucket, log_shed=log_shed
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -371,14 +404,20 @@ def word_jaccard_pairs(
 
 
 def phash_near_dups(
-    images: DataFrame, max_hamming: int = 6, max_bucket: int | None = 65536
+    images: DataFrame, max_hamming: int = 6, max_bucket: int | None = 65536,
+    log_shed: bool = False,
 ) -> DataFrame:
-    """Near-duplicate images by perceptual hash — banded complete-recall
-    candidate generation over the phash column of the input_hint schema.
-    ``max_bucket`` sheds degenerate buckets (uniform images — black frames,
-    test cards — collapse to one phash; see _banded_hamming_pairs)."""
+    """Near-duplicate images by perceptual hash — banded candidate
+    generation over the phash column of the input_hint schema, with recall
+    complete EXCEPT for pairs whose every shared band bucket exceeds
+    ``max_bucket`` rows (degenerate buckets: uniform images — black frames,
+    test cards — collapse to one phash and are shed; see
+    _banded_hamming_pairs). ``max_bucket=None`` restores the unconditional
+    guarantee; ``log_shed=True`` warns when buckets were dropped."""
     ph = images.select("image_id", "phash")
-    return _banded_hamming_pairs(ph, "phash", "image_id", max_hamming, max_bucket=max_bucket)
+    return _banded_hamming_pairs(
+        ph, "phash", "image_id", max_hamming, max_bucket=max_bucket, log_shed=log_shed
+    )
 
 
 def rank_dedup_representatives(

@@ -105,23 +105,50 @@ def mixture_sample(
     but unbiased; exact-n mixes go through stratified_sample_n at the cost
     of a window shuffle."""
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_nd"))
-    wmap = F.create_map(
-        *[x for k, v in sorted(weights_permille.items()) for x in (F.lit(k), F.lit(int(v)))]
-    )
-    # build _nt (per-domain target rows) first, then the integer threshold —
-    # expression split keeps the arithmetic readable and the tree linear
-    thr = (
-        counts.withColumn("_w", wmap[F.col(domain_col)])
-        .where(F.col("_w").isNotNull())
-        .withColumn("_nt", F.expr(f"CAST({total_target} AS BIGINT) * _w DIV 1000"))
-        .withColumn("_thr", F.least(F.lit(_MOD).cast("long"),
-                                    F.expr(f"CAST({_MOD} AS BIGINT) * _nt DIV _nd")))
-        .select(domain_col, "_thr")
-    )
+    thr = domain_thresholds(counts, domain_col, weights_permille, total_target)
     return (
         df.join(F.broadcast(thr), domain_col, "inner")
         .where(hash_col(id_col) < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def domain_thresholds(
+    counts: DataFrame,
+    domain_col: str,
+    weights_permille: dict[str, int],
+    total_target: int,
+) -> DataFrame:
+    """(domain, _nd row count) -> (domain, _thr) keep-threshold table.
+
+    _thr = floor(2^32 * min(n_target, n_d) / n_d), computed EXACTLY with
+    overflow-safe base-2^16 long division (Spark 4 ANSI throws on int64
+    overflow, and the naive 2^32 * _nt intermediate overflows once a
+    domain's target rows exceed ~2.1e9 — precisely the 10^12-row regime
+    this module targets). With _nt clamped to _nd first, _nt * 2^16 stays
+    below 2^63 for any _nd < 2^47 (~1.4e14 rows per domain, the documented
+    input bound), and
+
+        floor(2^32*nt/nd) = q1*2^16 + floor((r1*2^16)/nd),
+        q1 = (nt*2^16) div nd, r1 = (nt*2^16) mod nd
+
+    is exact (q1 <= 2^16 since nt <= nd). Factored out of mixture_sample so
+    the arithmetic is unit-testable at planet-scale counts without
+    materializing the rows; mirrored limb-for-limb in mixture_sample_sql."""
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights_permille.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    return (
+        counts.withColumn("_w", wmap[F.col(domain_col)])
+        .where(F.col("_w").isNotNull())
+        .withColumn(
+            "_nt",
+            F.expr(f"least(CAST({total_target} AS BIGINT) * _w DIV 1000, _nd)"),
+        )
+        .withColumn("_q1", F.expr(f"(_nt * {_LO}) DIV _nd"))
+        .withColumn("_r1", F.expr(f"(_nt * {_LO}) % _nd"))
+        .withColumn("_thr", F.expr(f"_q1 * {_LO} + (_r1 * {_LO}) DIV _nd"))
+        .select(domain_col, "_thr")
     )
 
 
@@ -133,7 +160,9 @@ def mixture_sample_sql(
     source: str = "documents",
 ) -> str:
     """DuckDB oracle replicating mixture_sample bit-for-bit (same integer
-    thresholds, same hash)."""
+    thresholds via the SAME overflow-safe base-2^16 long division as
+    domain_thresholds — DuckDB BIGINT shares the 2^63 ceiling, so the naive
+    2^32 * nt form would overflow there too; same hash)."""
     wcase = " ".join(
         f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(weights_permille.items())
     )
@@ -141,15 +170,18 @@ def mixture_sample_sql(
         WITH t AS (
           SELECT *, {domain_expr} AS _dom FROM {source}
         ), c AS (
-          SELECT _dom, count(*) AS _nd,
+          SELECT _dom, CAST(count(*) AS BIGINT) AS _nd,
                  CASE _dom {wcase} ELSE NULL END AS _w
           FROM t GROUP BY _dom
+        ), nt AS (
+          SELECT _dom, _nd,
+                 least(CAST({total_target} AS BIGINT) * _w // 1000, _nd) AS _nt
+          FROM c WHERE _w IS NOT NULL
         ), thr AS (
           SELECT _dom,
-                 least(CAST({_MOD} AS BIGINT),
-                       CAST({_MOD} AS BIGINT) * (CAST({total_target} AS BIGINT) * _w // 1000) // _nd
-                 ) AS _thr
-          FROM c WHERE _w IS NOT NULL
+                 ((_nt * {_LO}) // _nd) * {_LO}
+                 + (((_nt * {_LO}) % _nd) * {_LO}) // _nd AS _thr
+          FROM nt
         )
         SELECT t.{id_col}, t._dom AS domain
         FROM t JOIN thr USING (_dom)

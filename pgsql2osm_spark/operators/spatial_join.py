@@ -177,16 +177,17 @@ def pip_join(
     refs = [cell_cols[r] for r in res_list]
     probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
     cand = probe.join(F.broadcast(cov), probe["_cell"] == cov["cell"], "inner")
-    # Interior-cell rows pass without the exact test (X2 staging); the exact
-    # refine for boundary-cell rows is by default a PURE-COLUMN unrolled
-    # even-odd expression (geometry.pip_column): codegen's OR short-circuits
-    # per row, so interior rows never evaluate it and NO Python stage exists.
-    # The r2 pandas-UDF form cost every candidate row the Arrow round-trip —
-    # Spark extracts python UDFs into ArrowEvalPython BELOW the filter, so
-    # `interior OR udf(...)` serialized the whole fact table to Python
-    # (plan-verified; the dominant cost at high core counts). The UDF path
-    # remains for region sets whose unrolled expression would blow codegen
-    # (refine='auto' caps total edge count).
+    # Interior-cell rows pass without the exact test (X2 staging); boundary
+    # -cell rows take the exact refine. DEFAULT is refine='udf': the fused
+    # `interior OR pip_udf(...)` predicate. Spark extracts the Python UDF
+    # into an ArrowEvalPython stage BELOW the filter, so every candidate row
+    # pays the Arrow round-trip — but this still measured fastest: the
+    # split-cover union re-executes the source subtree per branch (1.6-1.8x
+    # total wall), and the pure-Column unrolled even-odd expression
+    # (geometry.pip_column, bit-exact) leaves whole-stage codegen and ran
+    # ~9x worse at 134 edges (BENCH/PLANS.md r3). The Column path is OPT-IN:
+    # refine='column', or 'auto' which picks it only when the cover is tiny
+    # (n_edges <= max_column_edges).
     n_edges = sum(
         r.shape[0] for rings in rings_by_region.values()
         for r in rings if r.shape[0] >= 3

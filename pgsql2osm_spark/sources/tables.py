@@ -65,18 +65,44 @@ def write_bucketed(
     rows hash into exactly n_buckets files per write."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the default in-memory catalog forgets tables across sessions while the
-    # MANAGED location persists on disk — a fresh session's saveAsTable then
-    # refuses with LOCATION_ALREADY_EXISTS. Clear the stale dir (safe: the
-    # catalog just confirmed no live table owns it).
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    loc = os.path.join(wh.path if wh.scheme in ("", "file") else wh.geturl(), table.lower())
-    if wh.scheme in ("", "file") and os.path.isdir(loc):
-        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
-    w.format("parquet").saveAsTable(table)
+    try:
+        w.format("parquet").saveAsTable(table)
+    except Exception as e:  # noqa: BLE001 — match on the catalog error class
+        # The default in-memory catalog forgets tables across sessions while
+        # the MANAGED location persists on disk — a fresh session's
+        # saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Recover by
+        # clearing the stale dir and retrying ONCE. The rmtree runs only
+        # AFTER the failure (never preemptively — a concurrent session's
+        # in-memory catalog may own a dir this session's DROP cannot see),
+        # and the managed path is resolved database-aware:
+        # 'tbl' -> <warehouse>/tbl, 'db.tbl' -> <warehouse>/db.db/tbl.
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        loc = _managed_location(spark, table)
+        if loc is None or not os.path.isdir(loc):
+            raise
+        import shutil
+
+        shutil.rmtree(loc)
+        w.format("parquet").saveAsTable(table)
+
+
+def _managed_location(spark, table: str) -> str | None:
+    """Resolve the default-catalog MANAGED location of ``table`` on a local
+    filesystem warehouse; None for remote warehouses or >2-part names."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return None
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        return os.path.join(wh.path, parts[0])
+    if len(parts) == 2:
+        db, tbl = parts
+        base = wh.path if db == "default" else os.path.join(wh.path, f"{db}.db")
+        return os.path.join(base, tbl)
+    return None

@@ -206,6 +206,35 @@ def test_mixture_sample_deterministic_and_proportioned(spark):
     assert kept.count() == 10
 
 
+def test_domain_thresholds_planet_scale_exact(spark):
+    """The keep-threshold arithmetic is exact AND overflow-safe at 10^12-row
+    domain counts (ADVICE r3: the naive 2^32 * _nt intermediate threw under
+    ANSI once a domain's target exceeded ~2.1e9 rows). Unit-tests the
+    factored counts->thresholds stage directly so planet-scale _nd values
+    need no materialized rows."""
+    counts = spark.createDataFrame(
+        [
+            ("web", 5_000_000_000_000),   # nt=3.6e12 — old math overflowed
+            ("code", 3_000_000_000),      # nt=4e11 > nd -> clamp, keep all
+            ("wiki", 140_000_000_000_000),  # near the 2^47 documented bound
+            ("tiny", 7),
+        ],
+        "lang string, _nd long",
+    )
+    w = {"web": 900, "code": 100, "wiki": 500, "tiny": 1}
+    total = 4_000_000_000_000
+    got = {
+        r["lang"]: r["_thr"]
+        for r in SP.domain_thresholds(counts, "lang", w, total).collect()
+    }
+    nd = {"web": 5_000_000_000_000, "code": 3_000_000_000,
+          "wiki": 140_000_000_000_000, "tiny": 7}
+    for lang, n in nd.items():
+        nt = min(total * w[lang] // 1000, n)
+        assert got[lang] == ((1 << 32) * nt) // n, lang
+    assert got["code"] == 1 << 32  # clamped domain keeps everything
+
+
 def test_chunk_windows_python_model(spark):
     """Overlapping chunk coordinates equal a python scan; empty docs yield
     nothing; boundaries (n == size, n == size+1) behave per the formula."""
