@@ -24,7 +24,6 @@ MAX_PY_STAGES = {
     "image_decode_stats": 2,
     "audio_features": 1,
     "minhash_pairs": 1,
-    "simhash": 1,
     "phash_near_dups": 0,
     "s2_encode": 1,
 }

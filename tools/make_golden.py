@@ -270,13 +270,6 @@ def _docs(sf_dir: str) -> pd.DataFrame:
     return pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
 
 
-def _check_simhash(pdf: pd.DataFrame, sf_dir: str) -> None:
-    docs = _docs(sf_dir)
-    exp = {(int(r.doc_id), _indep_simhash(r.text)) for r in docs.itertuples()}
-    got = {(int(r.doc_id), int(r.simhash)) for r in pdf.itertuples()}
-    assert got == exp, f"simhash mismatch: {sorted(got ^ exp)[:4]}"
-
-
 def _check_simhash_near_dups(pdf: pd.DataFrame, sf_dir: str) -> None:
     docs = _docs(sf_dir)
     rows = [(int(r.doc_id), r.text) for r in docs.itertuples()]
@@ -551,7 +544,6 @@ ORACLE_QUERIES: dict = {
     "knn_rings_fixture": lambda pdf, sf: _check_knn_rings(pdf),
     "phash_near_dups": lambda pdf, sf: _check_phash_pairs(pdf),
     "embedding_near_dups": _check_embedding_near_dups,
-    "simhash": _check_simhash,
     "simhash_near_dups": _check_simhash_near_dups,
     "minhash_pairs": _check_minhash_pairs,
     "s2_encode": _check_s2,
@@ -581,7 +573,8 @@ def make_oracle_goldens(sf_dir: str = ORACLE_SF) -> None:
     os.makedirs(f"{GOLDEN_DIR}/oracle", exist_ok=True)
     os.makedirs(f"{GOLDEN_DIR}/fixtures", exist_ok=True)
 
-    # fixtures backing the REAL-SQL oracles (regions_lookup, closure_fixture)
+    # fixtures backing the REAL-SQL oracles (closure_fixture/closure_bucketed;
+    # regions_dim also feeds the CLI's regions tests)
     edges = [
         (r["parent_id"], r["parent_kind"], m["ref"], m["role"], m["type"])
         for r in FX.gen_memberships()
