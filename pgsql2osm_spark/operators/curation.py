@@ -109,6 +109,32 @@ def decontaminate(
     ``max_broadcast_grams=None`` skips the probe and always broadcasts.
     Doc grams explode narrowly; only the contaminated id set (tiny)
     shuffles, and the flag-back join broadcasts it."""
+    contaminated = contaminated_ids(
+        docs, benchmark, n=n, text=text, id_col=id_col,
+        max_broadcast_grams=max_broadcast_grams,
+    ).withColumn("contaminated", F.lit(True))
+    return (
+        docs.select(id_col)
+        .join(contaminated, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_grams: int | None = 5_000_000,
+) -> DataFrame:
+    """The (tiny) distinct id set of documents sharing any word ``n``-gram
+    with the benchmark — the joinable core of ``decontaminate`` for
+    pipelines that fold the flag into a wider lineage (pipeline_funnel)
+    instead of materializing a full per-document flag table. Same
+    count-probe broadcast/shuffle auto-dispatch; see decontaminate."""
     grams = word_ngrams_udf(n)
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text))).alias("gram")).distinct()
@@ -122,18 +148,8 @@ def decontaminate(
             F.broadcast(bench_grams) if n_bench <= max_broadcast_grams else bench_grams
         )
     doc_grams = docs.select(F.col(id_col), F.explode(grams(F.col(text))).alias("gram"))
-    contaminated = (
-        doc_grams.join(bench_side, "gram", "left_semi")
-        .select(id_col)
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
     return (
-        docs.select(id_col)
-        .join(contaminated, id_col, "left")
-        .select(
-            F.col(id_col), F.coalesce("contaminated", F.lit(False)).alias("contaminated")
-        )
+        doc_grams.join(bench_side, "gram", "left_semi").select(id_col).distinct()
     )
 
 
@@ -251,6 +267,30 @@ def pii_scrub(
         n_phone.cast("long").alias("n_phones"),
         n_ip.cast("long").alias("n_ips"),
         F.md5(s3).alias("scrubbed_md5"),
+    )
+
+
+def pii_clean_col(text: str = "text") -> Column:
+    """True iff the document contains NO redactable PII. Equivalent to
+    "pii_scrub would redact nothing": when an earlier pattern is absent the
+    later scrub passes operate on unchanged text, and when one is present
+    the document is already not clean — so testing all three patterns on
+    the RAW text matches the sequential email->phone->ip semantics
+    exactly. Pure JVM regexp columns."""
+    c = F.col(text)
+    return (
+        (F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))) == 0)
+        & (F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))) == 0)
+        & (F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0))) == 0)
+    )
+
+
+def pii_clean_sql(text_expr: str = "text") -> str:
+    """DuckDB predicate matching pii_clean_col bit-for-bit."""
+    return (
+        f"(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) = 0 "
+        f"AND len(regexp_extract_all({text_expr}, '{PHONE_RE}')) = 0 "
+        f"AND len(regexp_extract_all({text_expr}, '{IPV4_RE}')) = 0)"
     )
 
 
