@@ -295,6 +295,95 @@ def region_rings(region: dict) -> list[np.ndarray]:
     return rings
 
 
+def _rect(x0: float, y0: float, x1: float, y1: float) -> list:
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+
+def gen_continent() -> list[dict]:
+    """Deterministic synthetic CONTINENT for realistic multi-region CLI /
+    partitioned-PIP tests (VERDICT r3 #6): a 3-level nested admin hierarchy
+    of 53 regions spanning the ANTIMERIDIAN — pure arithmetic, no files,
+    no RNG.
+
+    Layout (lon in [-180, 180], the dateline split at +/-180):
+    * region 1 (admin 1): the continent outline, split into TWO outer
+      rings (lon [149.05, 180] and [-180, -152.05], lat [-32.95, 32.95]) —
+      the standard representation real tooling emits after antimeridian
+      cutting (ogr2ogr -wrapdateline, osmium extracts).
+    * regions 2..14 (admin 2): 13 countries — 7 strips on the west half,
+      5 on the east half, and country 14's id-order position 13 CROSSING
+      the dateline itself (two rings, [178.05, 180] + [-180, -178.05]).
+      Country 2 carries a lake hole (multipolygon inner role).
+    * regions 15..53 (admin 4): 3 provinces nested inside each country
+      (lat bands, 0.4deg margin); the dateline country's provinces are
+      each two-ring as well.
+
+    1 + 13 + 13*3 = 53 regions. Rectangle edges sit on x.05/x.95
+    coordinates so test point grids on other fractions never touch a
+    boundary (PIP edge cases are owned by tests/test_geometry.py)."""
+    out = [{
+        "region_id": 1, "name": "continent", "iso": "CN-00",
+        "admin_level": 1, "parent_id": None,
+        "outer_rings": [_rect(149.05, -32.95, 180.0, 32.95),
+                        _rect(-180.0, -32.95, -152.05, 32.95)],
+        "inner_rings": [],
+    }]
+    countries = []
+    for k in range(7):  # west strips: [150.05, 178.05) in 4-deg columns
+        countries.append(([_rect(150.05 + 4 * k, -29.95, 153.95 + 4 * k, 29.95)], []))
+    for k in range(5):  # east strips: [-177.95, -157.95)
+        countries.append(([_rect(-177.95 + 4 * k, -29.95, -174.05 + 4 * k, 29.95)], []))
+    # dateline-crossing country: two rings hugging +/-180
+    countries.append((
+        [_rect(178.05, -29.95, 180.0, 29.95), _rect(-180.0, -29.95, -178.05, 29.95)],
+        [],
+    ))
+    rid = 1
+    for c, (outers, inners) in enumerate(countries, start=1):
+        rid += 1
+        crid = rid
+        if c == 1:  # lake hole in the first country
+            x0 = outers[0][0][0]
+            inners = [_rect(x0 + 1.05, -3.95, x0 + 2.95, 3.95)]
+        out.append({
+            "region_id": crid, "name": f"country{c:02d}",
+            "iso": f"C{c:02d}", "admin_level": 2, "parent_id": 1,
+            "outer_rings": outers, "inner_rings": inners,
+        })
+        for p, (ylo, yhi) in enumerate([(-27.95, -10.05), (-9.95, 9.95), (10.05, 27.95)], 1):
+            rid += 1
+            prov = []
+            for ring in outers:
+                x0, x1 = ring[0][0], ring[1][0]
+                # 0.4deg lon margin, except at the dateline edge itself
+                mx0 = x0 + (0.0 if x0 == -180.0 else 0.4)
+                mx1 = x1 - (0.0 if x1 == 180.0 else 0.4)
+                prov.append(_rect(mx0, ylo, mx1, yhi))
+            out.append({
+                "region_id": rid, "name": f"province{c:02d}_{p}",
+                "iso": f"C{c:02d}-{p}", "admin_level": 4, "parent_id": crid,
+                "outer_rings": prov, "inner_rings": [],
+            })
+    return out
+
+
+def continent_regions_csv(regions: list[dict], rel_base: int = 200000) -> str:
+    """regions.csv-shaped text for gen_continent output: osm_id is the
+    POSITIVE relation id (rel_base + region_id; the boundary parquet keys
+    rows by the same id — see cli --boundaries)."""
+    lines = ["osm_id,name,iso_country,border_type,iso_subcountry,admin_level"]
+    for r in regions:
+        iso = r["iso"].lower()
+        country = iso.split("-")[0]
+        sub = iso if "-" in iso and r["admin_level"] >= 4 else ""
+        btype = {1: "continent", 2: "country"}.get(r["admin_level"], "subdivision")
+        lines.append(
+            f"{rel_base + r['region_id']},{r['name']},{country if r['admin_level'] == 2 else ''},"
+            f"{btype},{sub},{r['admin_level']}"
+        )
+    return "\n".join(lines) + "\n"
+
+
 # ---------------------------------------------------------------------------
 # Membership graph (closure fixtures).
 # ---------------------------------------------------------------------------
