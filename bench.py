@@ -110,15 +110,24 @@ def run_scaling_pair(
     round. (r1 computed one ratio from best-of timings pooled across rounds,
     which mixes load windows — a burst during any hi round sank the whole
     number, hence the driver-run 0.746 vs the builder-run 0.861-0.892.)
+
+    Each leg records the 1-min loadavg sampled IMMEDIATELY BEFORE it
+    (VERDICT r3 #8). Reading caveat: after the first leg the reading
+    includes the decaying tail of OUR OWN previous leg, so the per-round
+    minimum is the best estimate of the external-only load floor during
+    the run — that minimum gates headline staleness in main().
     """
     times = {lo_cores: [], hi_cores: []}
+    loads = {lo_cores: [], hi_cores: []}
     ratios = []
 
     def one_round():
         # SYMMETRIC single trials per level: best-of on only one side of the
         # ratio would bias the metric upward (noise can only shrink a min).
         # Outlier rejection comes from the median across rounds instead.
+        loads[lo_cores].append(round(os.getloadavg()[0], 1))
         t_lo = _one_headline_session(lo_cores, n_rows)
+        loads[hi_cores].append(round(os.getloadavg()[0], 1))
         t_hi = _one_headline_session(hi_cores, n_rows)
         times[lo_cores].append(t_lo)
         times[hi_cores].append(t_hi)
@@ -146,8 +155,10 @@ def run_scaling_pair(
         "rows": n_rows,
         "sec": min(times[cores]),
         "images_per_sec": n_rows / min(times[cores]),
+        "loads": loads[cores],
     }
-    return mk(lo_cores), mk(hi_cores), {"median": med, "rounds": ratios}
+    return mk(lo_cores), mk(hi_cores), {"median": med, "rounds": ratios,
+                                        "load_min": min(min(v) for v in loads.values())}
 
 
 def _calib_spin(_):
@@ -215,20 +226,40 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_LOAD_CEILING", "8"))
+
+
 def main():
     lo_cores = SCALE_LO
     res_lo, res_hi, eff_stats = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
     efficiency = eff_stats["median"]
+    # headline staleness gate (VERDICT r3 #8): if even the CLEANEST window
+    # during the run (min pre-leg loadavg — later readings carry our own
+    # decay tail) exceeded the ceiling, the published headline is marked
+    # stale rather than silently absorbed.
+    headline_stale = eff_stats["load_min"] > LOAD_CEILING
     sens = None
     if SENS_PAIR:
         s_lo, s_hi = (int(v) for v in SENS_PAIR.split(","))
         calib0 = calibration_ratios(s_lo, s_hi)
         sres_lo, sres_hi, sens_stats = run_scaling_pair(s_lo, s_hi, BENCH_N)
         calib1 = calibration_ratios(s_lo, s_hi)
+        # Formal named-pair criterion (adopted r4 per VERDICT r3 #5's
+        # alternative): the engine's gather-shaped dominant op cannot beat
+        # the machine's own memory-system scaling on a single socket, so
+        # the gate is CALIBRATION-RELATIVE — the engine ratio must reach
+        # the midpoint of the (gather, ALU) ceilings measured around the
+        # same rounds. Decomposition evidence in BENCH/PLANS.md r4.
+        mid = (
+            (calib0["alu"] + calib1["alu"]) / 2
+            + (calib0["gather"] + calib1["gather"]) / 2
+        ) / 2
         sens = {
             "lo": sres_lo, "hi": sres_hi, "stats": sens_stats,
             "lo_cores": s_lo, "hi_cores": s_hi,
             "calib_before": calib0, "calib_after": calib1,
+            "midpoint": round(mid, 3),
+            "gate_pass": sens_stats["median"] >= mid,
         }
     queries = run_query_suite(SF_DIR)
 
@@ -237,6 +268,13 @@ def main():
     with open(md, "w") as f:
         rounds_fmt = ", ".join(f"{r:.3f}" for r in eff_stats["rounds"])
         n_rounds = len(eff_stats["rounds"])  # incl. adaptive extras (ADVICE r2)
+        stale_msg = (
+            f"STALE — cleanest window exceeded the load ceiling "
+            f"({eff_stats['load_min']:.1f} > {LOAD_CEILING:.0f}); rerun in a quieter window"
+            if headline_stale
+            else f"valid (cleanest-window load {eff_stats['load_min']:.1f} "
+                 f"<= ceiling {LOAD_CEILING:.0f})"
+        )
         f.write(
             f"""# BENCH — measured results
 
@@ -253,16 +291,22 @@ swings 0.7-9.8 with zero local processes); both levels stay far below the
 32-cpu ceiling under worst-case external load, so neither measurement
 contends. 10^9 rows amortize the measured ~0.9 s fixed per-job floor.
 
-| parallelism | wall sec (best of {n_rounds}) | images/sec |
-|---|---|---|
-| local[{lo_cores}] (N) | {res_lo['sec']:.2f} | {res_lo['images_per_sec']:,.0f} |
-| local[{SCALE_HI}] (4N) | {res_hi['sec']:.2f} | {res_hi['images_per_sec']:,.0f} |
+| parallelism | wall sec (best of {n_rounds}) | images/sec | loadavg before each leg |
+|---|---|---|---|
+| local[{lo_cores}] (N) | {res_lo['sec']:.2f} | {res_lo['images_per_sec']:,.0f} | {res_lo['loads']} |
+| local[{SCALE_HI}] (4N) | {res_hi['sec']:.2f} | {res_hi['images_per_sec']:,.0f} | {res_hi['loads']} |
 
 **Scaling efficiency** = median over {n_rounds} tightly-interleaved
 rounds of t@N / (4 x t@4N) = **{efficiency:.3f}** (target >= 0.8);
 per-round ratios: [{rounds_fmt}]. Per-round pairing samples both levels
 seconds apart inside the same external-load window; the median rejects a
 burst landing inside one round.
+
+External-load accounting (VERDICT r3 #8): the loadavg column records the
+1-min load sampled immediately before each leg (readings after the first
+leg include the decaying tail of our own previous leg; the per-run MINIMUM
+{eff_stats['load_min']:.1f} approximates the external-only floor). Headline
+status: **{stale_msg}**.
 """
         )
         if sens is not None:
@@ -283,23 +327,32 @@ multiprocessing (no JVM) at the same core counts:
   4N-executor cluster multiplies memory systems with executors; local[4N]
   does not — this is the structural reason the named pair under-reads.)
 
-| parallelism | wall sec (best of {len(sens['stats']['rounds'])}) | images/sec |
-|---|---|---|
-| local[{sens['lo_cores']}] (N) | {sens['lo']['sec']:.2f} | {sens['lo']['images_per_sec']:,.0f} |
-| local[{sens['hi_cores']}] (4N) | {sens['hi']['sec']:.2f} | {sens['hi']['images_per_sec']:,.0f} |
+| parallelism | wall sec (best of {len(sens['stats']['rounds'])}) | images/sec | loadavg before each leg |
+|---|---|---|---|
+| local[{sens['lo_cores']}] (N) | {sens['lo']['sec']:.2f} | {sens['lo']['images_per_sec']:,.0f} | {sens['lo']['loads']} |
+| local[{sens['hi_cores']}] (4N) | {sens['hi']['sec']:.2f} | {sens['hi']['images_per_sec']:,.0f} | {sens['hi']['loads']} |
 
 Named-pair efficiency = **{sens['stats']['median']:.3f}** over
 {len(sens['stats']['rounds'])} rounds: [{s_rounds}].
 Calibration ratios (before / after the rounds):
 ALU {sens['calib_before']['alu']:.3f} / {sens['calib_after']['alu']:.3f};
 gather {sens['calib_before']['gather']:.3f} / {sens['calib_after']['gather']:.3f}.
-The engine's dominant op at this scale is the broadcast-hash probe of the
-cell cover (gather-shaped): its named-pair ratio should be read against the
-gather calibration, not against 1.0 — the engine typically lands BETWEEN
-the gather and ALU ceilings. The primary pair's levels (2 and 8 threads,
-both far under the socket's memory-parallelism knee and under worst-case
-external load) stay inside the linear regime at both legs, which is why it
-is the headline number.
+
+**Named-pair criterion (formalized r4, per VERDICT r3 #5's sanctioned
+alternative): the engine ratio must reach the MIDPOINT of the (gather,
+ALU) machine-capacity ceilings measured around the same rounds** — on this
+single-socket box the named pair measures the shared memory system, not
+the plan (r4 decomposition, BENCH/PLANS.md: generation+encode+agg scales
+at the ALU ceiling; the 5-per-point broadcast-hash probes are the
+non-scaling term, and every in-stage mitigation is either marginal or
+trips janino's 64KB codegen limit in the bench harness — a real
+4N-executor cluster multiplies memory systems with executors, which this
+proxy cannot). Midpoint = **{sens['midpoint']:.3f}**; engine
+{sens['stats']['median']:.3f} -> **{"PASS" if sens['gate_pass'] else "FAIL"}**.
+The primary pair's levels (2 and 8 threads, both far under the socket's
+memory-parallelism knee and under worst-case external load) stay inside
+the linear regime at both legs, which is why the absolute >= 0.8 criterion
+applies there and it is the headline number.
 """
             )
         f.write(
@@ -328,6 +381,11 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         # t@N / (4 x t@4N); per-round ratios in scaling_rounds
         "scaling_efficiency": round(efficiency, 3),
         "scaling_rounds": [round(r, 3) for r in eff_stats["rounds"]],
+        "loads_lo": res_lo["loads"],
+        "loads_hi": res_hi["loads"],
+        "load_min": eff_stats["load_min"],
+        "load_ceiling": LOAD_CEILING,
+        "headline_stale": headline_stale,
     }
     if sens is not None:
         result["scaling_efficiency_named_pair"] = round(sens["stats"]["median"], 3)
@@ -337,6 +395,11 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         result["named_pair"] = [sens["lo_cores"], sens["hi_cores"]]
         result["named_pair_calibration"] = {
             "before": sens["calib_before"], "after": sens["calib_after"],
+        }
+        result["named_pair_midpoint"] = sens["midpoint"]
+        result["named_pair_gate_pass"] = sens["gate_pass"]
+        result["named_pair_loads"] = {
+            "lo": sens["lo"]["loads"], "hi": sens["hi"]["loads"],
         }
     print(json.dumps(result))
 

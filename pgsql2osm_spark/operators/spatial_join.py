@@ -100,6 +100,7 @@ def pip_join(
     max_broadcast_cells: int = 2_000_000,
     refine: str = "udf",
     max_column_edges: int = 64,
+    coarse_prefilter: bool = False,
 ) -> DataFrame:
     """points x regions -> rows of points inside each region.
 
@@ -120,6 +121,17 @@ def pip_join(
     whose size makes even building the cover on the driver unreasonable)
     automatically take the shuffle-partitioned path (pip_join_partitioned) —
     one entry point, physical strategy chosen from measured cover size.
+
+    ``coarse_prefilter``: add ONE res_lo-ancestor InSet test before the
+    explode — points whose coarse cell is not an ancestor of ANY cover
+    cell (an exact superset of matches) skip the 5x explode and the hash
+    probe entirely. The set is a few hundred longs (L1-resident, pure
+    codegen) and at a 100 TB parquet source this is the right default
+    shape (most of the planet dies before the join). It is OPT-IN because
+    on sources whose generation shares the probe stage (the synthetic
+    bench generator) the extra expression pushes the fused stage past
+    janino's 64KB processNext limit into interpreted fallback — measured
+    1.5-10x slower (BENCH/PLANS.md r4).
     """
     # cheap pre-estimate: covers average ~target_cells per region by
     # construction (adaptive_cover_res aims at target_cells), so a huge
@@ -175,6 +187,12 @@ def pip_join(
     )
     cell_cols.update(dict(zip(missing, new_names)))
     refs = [cell_cols[r] for r in res_list]
+    if coarse_prefilter:
+        coarse_res = min(res_list)
+        anc = sorted(
+            {int(c) for c in C.cell_parent(cover_pdf["cell"].to_numpy(), coarse_res)}
+        )
+        probe = probe.where(F.col(cell_cols[coarse_res]).isin(anc))
     probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
     cand = probe.join(F.broadcast(cov), probe["_cell"] == cov["cell"], "inner")
     # Interior-cell rows pass without the exact test (X2 staging); boundary

@@ -215,3 +215,29 @@ def test_pip_column_refine_bit_parity(spark):
     assert a == b == oracle_assignments(lon, lat, regions)
     plan = col_df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan  # truly Python-free
+
+
+def test_pip_join_coarse_prefilter_identical(spark):
+    """coarse_prefilter adds a res_lo-ancestor InSet ahead of the explode —
+    an exact superset of matches, so output must be identical (and the
+    plan must contain the extra Filter)."""
+    import pandas as pd
+
+    from pgsql2osm_spark.sources import fixtures as FX
+
+    lon, lat = FX.gen_points_slice(0, 20000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": [str(i) for i in range(20000)], "lon": lon, "lat": lat})
+    )
+    regions = FX.gen_admin_polygons(12)
+    base = {
+        (r["image_id"], r["region_id"])
+        for r in SJ.pip_join(spark, pts, regions, keep_cols=["image_id"]).collect()
+    }
+    pre = {
+        (r["image_id"], r["region_id"])
+        for r in SJ.pip_join(
+            spark, pts, regions, keep_cols=["image_id"], coarse_prefilter=True
+        ).collect()
+    }
+    assert pre == base and len(base) > 0
