@@ -213,6 +213,7 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
 
     spark = get_spark(app="bench_suite", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
+    loads = {"before": round(os.getloadavg()[0], 1)}
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
@@ -222,8 +223,9 @@ def run_query_suite(sf_dir: str) -> dict[str, float]:
         except Exception as ex:
             print(f"bench: query {name} failed: {ex}", file=sys.stderr)
             timings[name] = -1.0
+    loads["after"] = round(os.getloadavg()[0], 1)
     spark.stop()
-    return timings
+    return timings, loads
 
 
 LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_LOAD_CEILING", "8"))
@@ -261,7 +263,7 @@ def main():
             "midpoint": round(mid, 3),
             "gate_pass": sens_stats["median"] >= mid,
         }
-    queries = run_query_suite(SF_DIR)
+    queries, suite_loads = run_query_suite(SF_DIR)
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
@@ -386,6 +388,7 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         "load_min": eff_stats["load_min"],
         "load_ceiling": LOAD_CEILING,
         "headline_stale": headline_stale,
+        "suite_loads": suite_loads,
     }
     if sens is not None:
         result["scaling_efficiency_named_pair"] = round(sens["stats"]["median"], 3)

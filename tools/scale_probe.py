@@ -291,29 +291,18 @@ def _scan_pts(spark, n_rows):
 
 
 def _scan_tail(spark, pts, names, prefilter: bool):
-    from pgsql2osm_spark.functions import cells as C
     from pgsql2osm_spark.functions import geometry as G
-    from pgsql2osm_spark.functions import udfs
     from pgsql2osm_spark.operators import spatial_join as SJ
     from pgsql2osm_spark.sources import fixtures as FX
 
-    regions = FX.gen_admin_polygons(12)
-    cover_pdf, rings_by_region = SJ.build_cover(regions, 7, 11, 4096)
-    if prefilter:
-        anc = sorted({int(c) for c in C.cell_parent(cover_pdf["cell"].to_numpy(), 7)})
-        pts = pts.where(F.col(names[0]).isin(anc))
-    probe = pts.withColumn("_cell", F.explode(F.array(*[F.col(n) for n in names])))
-    cov = F.broadcast(
-        spark.createDataFrame(cover_pdf[["cell", "region_id", "is_boundary"]])
+    joined = SJ.pip_join(
+        spark, pts, FX.gen_admin_polygons(12),
+        keep_cols=["image_id", "lon", "lat", "h3_7"],
+        cell_cols=dict(zip(RES_SET, names)),
+        coarse_prefilter=prefilter,
     )
-    cand = probe.join(cov, probe["_cell"] == cov["cell"], "inner")
-    rings_bc = spark.sparkContext.broadcast(
-        {rid: list(r) for rid, r in rings_by_region.items()}
-    )
-    exact = udfs.make_pip_udf(rings_bc)(F.col("region_id"), F.col("lon"), F.col("lat"))
-    kept = cand.where((~F.col("is_boundary")) | exact)
     x, y = G.tile_expr(F.col("lon"), F.col("lat"), 12)
-    tiles = kept.withColumn("tx", x).withColumn("ty", y)
+    tiles = joined.withColumn("tx", x).withColumn("ty", y)
     return tiles.groupBy("region_id", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
 
 
