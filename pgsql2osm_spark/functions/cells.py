@@ -314,6 +314,19 @@ def with_cell_columns(df, lon: str, lat: str, res_list, names=None, base_res: in
     return df.drop("_cx", "_cy", "_m26"), list(names)
 
 
+def cell_parent_expr(cell_col, res: int, parent_res: int):
+    """Spark Column computing cell_parent for cells KNOWN to be at ``res``
+    (pure bit shifts, codegen-friendly — the Column twin of cell_parent
+    for distributed coarse/fine probe filtering)."""
+    from pyspark.sql import functions as F
+
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    morton = cell_col.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    pm = F.shiftrightunsigned(morton, 2 * (res - parent_res))
+    return pm.bitwiseOR(F.lit(parent_res << _RES_SHIFT))
+
+
 def cell_expr(lon_col, lat_col, res: int):
     """Spark Column computing the same cell id with JVM-side built-ins only
     (whole-stage-codegen friendly; no Python in the hot path)."""

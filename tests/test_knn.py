@@ -80,3 +80,37 @@ def test_knn_rings_polar_and_sparse(spark):
     b = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in bf.itertuples()}
     g = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in rings.itertuples()}
     assert b == g
+
+
+def test_knn_rings_two_level_probe_equals_bruteforce(spark):
+    """res > COARSE_PROBE_RES takes the coarse-then-fine probe (VERDICT r3
+    'wrong #3'): the bounded fine collect must not change results —
+    rank-for-rank equal to brute force at res 11 and res 12."""
+    n = 3000
+    pts = _points_df(spark, n)
+    rng = np.random.default_rng(9)
+    qlon = rng.uniform(-170, 170, 8)
+    qlat = rng.uniform(-55, 65, 8)
+    qlon[0], qlat[0] = 8.54, 47.37     # dense metro
+    qlon[1], qlat[1] = -140.0, -45.0   # sparse ocean
+    queries = pd.DataFrame({"query_id": np.arange(8), "lon": qlon, "lat": qlat})
+    k = 5
+    bf = K.knn_bruteforce(pts, spark.createDataFrame(queries), k).toPandas()
+    bf_set = {(int(r.query_id), r.neighbor_id, int(r.rank)) for r in bf.itertuples()}
+    for res in (11, 12):
+        rings = K.knn_rings(spark, pts, queries, k, res=res).toPandas()
+        ring_set = {
+            (int(r.query_id), r.neighbor_id, int(r.rank)) for r in rings.itertuples()
+        }
+        assert ring_set == bf_set, res
+
+
+def test_knn_rings_fine_cap_guard(spark):
+    """The a-priori fine-collect bound raises instead of collecting
+    unboundedly when max_fine_cells is exceeded."""
+    import pytest
+
+    pts = _points_df(spark, 2000)
+    queries = pd.DataFrame({"query_id": [0], "lon": [8.54], "lat": [47.37]})
+    with pytest.raises(ValueError, match="max_fine_cells"):
+        K.knn_rings(spark, pts, queries, 5, res=13, max_fine_cells=10)
