@@ -243,6 +243,11 @@ def main():
     sens = None
     if SENS_PAIR:
         s_lo, s_hi = (int(v) for v in SENS_PAIR.split(","))
+        # 60s cooldown: the 1-min loadavg otherwise still carries the decay
+        # tail of the primary pair's own legs, which would both depress the
+        # pre-round gather calibration and falsely trip the staleness rule
+        time.sleep(60)
+        ext_load = round(os.getloadavg()[0], 1)
         calib0 = calibration_ratios(s_lo, s_hi)
         sres_lo, sres_hi, sens_stats = run_scaling_pair(s_lo, s_hi, BENCH_N)
         calib1 = calibration_ratios(s_lo, s_hi)
@@ -256,12 +261,21 @@ def main():
             (calib0["alu"] + calib1["alu"]) / 2
             + (calib0["gather"] + calib1["gather"]) / 2
         ) / 2
+        # staleness from the POST-COOLDOWN external load reading: pre-leg
+        # readings inside the named rounds are dominated by the decay tail
+        # of our own just-finished 32-thread legs (measured: ~13-16 with
+        # the machine otherwise idle), so they cannot gate anything; the
+        # cooldown reading is the one honest external estimate. The named
+        # pair's 8+32 threads do contend with genuine external bursts,
+        # which is exactly what this flags.
         sens = {
             "lo": sres_lo, "hi": sres_hi, "stats": sens_stats,
             "lo_cores": s_lo, "hi_cores": s_hi,
             "calib_before": calib0, "calib_after": calib1,
             "midpoint": round(mid, 3),
             "gate_pass": sens_stats["median"] >= mid,
+            "stale": ext_load > LOAD_CEILING,
+            "ext_load": ext_load,
         }
     queries, suite_loads = run_query_suite(SF_DIR)
 
@@ -350,7 +364,11 @@ non-scaling term, and every in-stage mitigation is either marginal or
 trips janino's 64KB codegen limit in the bench harness — a real
 4N-executor cluster multiplies memory systems with executors, which this
 proxy cannot). Midpoint = **{sens['midpoint']:.3f}**; engine
-{sens['stats']['median']:.3f} -> **{"PASS" if sens['gate_pass'] else "FAIL"}**.
+{sens['stats']['median']:.3f} -> **{"PASS" if sens['gate_pass'] else "FAIL"}**
+(post-cooldown external load {sens['ext_load']:.1f} vs ceiling {LOAD_CEILING:.0f}:
+{"STALE — the window was externally contended, rerun in a quieter one" if sens['stale'] else "measurement window valid"};
+in-round loadavg readings carry the decay tail of our own previous legs
+and do not gate).
 The primary pair's levels (2 and 8 threads, both far under the socket's
 memory-parallelism knee and under worst-case external load) stay inside
 the linear regime at both legs, which is why the absolute >= 0.8 criterion
@@ -401,6 +419,8 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         }
         result["named_pair_midpoint"] = sens["midpoint"]
         result["named_pair_gate_pass"] = sens["gate_pass"]
+        result["named_pair_stale"] = sens["stale"]
+        result["named_pair_ext_load"] = sens["ext_load"]
         result["named_pair_loads"] = {
             "lo": sens["lo"]["loads"], "hi": sens["hi"]["loads"],
         }
