@@ -5,11 +5,18 @@ ratio, isolating which stage stops scaling on this single-socket box:
 
   gen        spark.range + encode (pure codegen ALU) -> global count
   aggsmall   + groupBy(h3_7) count (16k-group hash map)
+  explodeagg + explode(5 res), no join (isolates Generate)
+  joinnoudf  + broadcast-hash probe, no refine UDF (isolates the probe)
   joinagg    + explode/broadcast-join/refine, agg by h3_7 (isolates join)
   full       the real headline (agg by region_id,tx,ty — ~200k groups)
+  full512/full128  smaller covers (L2-resident hash relation)
   fullpacked headline but aggregating on ONE packed long key
   inset      cover membership as per-(region,res) InSet Column predicates
-             (no explode-join; candidates explode from a 12-element array)
+             (OOMs codegen at target 4096 — kept as the negative exhibit)
+  fullpre / coarse / coarse2  prefilter attempts that trip janino's 64KB
+             processNext limit on the generator-shaped stage (interpreted
+             fallback — see BENCH/PLANS.md r4)
+  scanfull / scancoarse  tmpfs-parquet source variants (decode-bound)
 
 Usage: python tools/scale_probe.py [variant ...] [--rows N] [--cores 8,32]
 """
