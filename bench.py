@@ -207,7 +207,7 @@ def calibration_ratios(lo: int, hi: int) -> dict:
     return out
 
 
-def run_query_suite(sf_dir: str) -> dict[str, float]:
+def run_query_suite(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as E
     from pgsql2osm_spark.session import get_spark
 

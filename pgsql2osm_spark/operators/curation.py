@@ -95,6 +95,9 @@ def decontaminate(
     max_broadcast_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag documents sharing any word ``n``-gram with the benchmark corpus.
+    NOTE: constructing this DataFrame runs an EAGER count() job over the
+    benchmark grams whenever ``max_broadcast_grams`` is set (the default) —
+    the broadcast/shuffle dispatch needs the measured size up front.
 
     Output: docs' (id_col) + ``contaminated`` boolean. Auto-dispatch on the
     benchmark size (the same measured count-probe pattern as pip_join): the
@@ -131,7 +134,11 @@ def contaminated_ids(
     max_broadcast_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """The (tiny) distinct id set of documents sharing any word ``n``-gram
-    with the benchmark — the joinable core of ``decontaminate`` for
+    with the benchmark. NOTE: construction runs an EAGER count() job over
+    the benchmark grams whenever ``max_broadcast_grams`` is set (the
+    default) — the broadcast/shuffle dispatch needs the measured size
+    before the plan is built; pass ``max_broadcast_grams=None`` for a fully
+    lazy (always-broadcast) builder. The joinable core of ``decontaminate`` for
     pipelines that fold the flag into a wider lineage (pipeline_funnel)
     instead of materializing a full per-document flag table. Same
     count-probe broadcast/shuffle auto-dispatch; see decontaminate."""
@@ -178,6 +185,37 @@ def decontaminate_sql(
 # ---------------------------------------------------------------------------
 
 
+def with_repetition_flags(
+    df: DataFrame, n: int = 3, dup_pct_threshold: int = 10, text: str = "text"
+) -> DataFrame:
+    """Append ``n_grams``/``n_distinct``/``repetitive`` columns to ``df``
+    (the shared core of ``repetition_stats`` and the pipeline-funnel stage —
+    VERDICT r4 #5: one implementation of the Gopher-style repetition flag).
+
+    ``repetitive`` = duplicate n-gram fraction >= dup_pct_threshold percent,
+    evaluated in 64-bit integer math (the sizes are cast to long BEFORE the
+    *100 multiply — F.size is 32-bit, and under Spark 4 ANSI a >21.4M-gram
+    document would otherwise throw ArithmeticException instead of flagging).
+    No join, no shuffle — one Arrow gram stage + JVM array sizes, added as
+    CHAINED projections (named-column references, no duplicated expression
+    subtrees per the repo rule)."""
+    grams = word_ngrams_udf(n)
+    return (
+        df.withColumn("_rep_g", grams(F.col(text)))
+        .withColumn("n_grams", F.size("_rep_g").cast("long"))
+        .withColumn("n_distinct", F.size(F.array_distinct("_rep_g")).cast("long"))
+        .withColumn(
+            "repetitive",
+            (F.col("n_grams") > 0)  # a gram-less doc is empty, not repetitive
+            & (
+                (F.col("n_grams") - F.col("n_distinct")) * 100
+                >= F.col("n_grams") * dup_pct_threshold
+            ),
+        )
+        .drop("_rep_g")
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     n: int = 3,
@@ -187,31 +225,12 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document duplicate ``n``-gram stats (Gopher-style repetition).
 
-    Output ints only (oracle-hash-safe): n_grams, n_distinct, and
-    ``repetitive`` = duplicate fraction >= dup_pct_threshold percent,
-    evaluated in 64-bit integer math (the sizes are cast to long BEFORE the
-    *100 multiply — F.size is 32-bit, and under Spark 4 ANSI a >21.4M-gram
-    document would otherwise throw ArithmeticException instead of flagging).
-    No join, no shuffle — gram stage + JVM array sizes."""
-    grams = word_ngrams_udf(n)
-    g = docs.select(F.col(id_col), grams(F.col(text)).alias("_g"))
-    sized = g.select(
-        F.col(id_col),
-        F.size("_g").cast("long").alias("n_grams"),
-        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+    Output ints only (oracle-hash-safe): n_grams, n_distinct, repetitive —
+    see ``with_repetition_flags`` for the flag semantics and ANSI notes."""
+    flagged = with_repetition_flags(
+        docs.select(F.col(id_col), F.col(text)), n, dup_pct_threshold, text
     )
-    return sized.select(
-        F.col(id_col),
-        "n_grams",
-        "n_distinct",
-        (
-            (F.col("n_grams") > 0)  # a gram-less doc is empty, not repetitive
-            & (
-                (F.col("n_grams") - F.col("n_distinct")) * 100
-                >= F.col("n_grams") * dup_pct_threshold
-            )
-        ).alias("repetitive"),
-    )
+    return flagged.select(id_col, "n_grams", "n_distinct", "repetitive")
 
 
 def repetition_sql(

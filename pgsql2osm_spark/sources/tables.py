@@ -62,7 +62,20 @@ def write_bucketed(
 
     Unlike directory partitioning (write_partitioned), bucketing handles
     high-cardinality keys (cell ids, osm ids) without small-file explosion:
-    rows hash into exactly n_buckets files per write."""
+    rows hash into exactly n_buckets files per write.
+
+    SINGLE-WRITER ASSUMPTION (VERDICT r4 #6): the stale-location recovery
+    below assumes at most ONE session writes ``table`` at a time. With the
+    default in-memory catalog, two concurrent sessions cannot see each
+    other's table entries, so this function cannot distinguish "stale dir
+    left by a dead session" from "live dir owned by a concurrent one" in
+    general. Two guards narrow the window before any delete: the dir must
+    NOT contain an in-flight ``_temporary`` staging dir (the concrete
+    marker of a write in progress), and it must contain a ``_SUCCESS``
+    marker or parquet files (i.e. look like a COMPLETED orphan, not an
+    arbitrary path). A dir failing either guard re-raises the original
+    error instead of deleting. For true multi-writer deployments use a
+    shared metastore (Hive/Iceberg), where DROP TABLE is authoritative."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
@@ -84,10 +97,27 @@ def write_bucketed(
         loc = _managed_location(spark, table)
         if loc is None or not os.path.isdir(loc):
             raise
+        if not _looks_like_completed_orphan(loc):
+            raise RuntimeError(
+                f"write_bucketed: managed location {loc!r} exists but is "
+                "either mid-write (_temporary present) or not a completed "
+                "table dir — refusing to delete it; see the single-writer "
+                "assumption in write_bucketed's docstring"
+            ) from e
         import shutil
 
         shutil.rmtree(loc)
         w.format("parquet").saveAsTable(table)
+
+
+def _looks_like_completed_orphan(loc: str) -> bool:
+    """True iff ``loc`` looks like a COMPLETED managed-table dir orphaned by
+    a dead session: no in-flight ``_temporary`` staging dir, and at least a
+    ``_SUCCESS`` marker or a ``*.parquet`` data file present."""
+    entries = os.listdir(loc)
+    if "_temporary" in entries:
+        return False
+    return "_SUCCESS" in entries or any(n.endswith(".parquet") for n in entries)
 
 
 def _managed_location(spark, table: str) -> str | None:

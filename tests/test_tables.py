@@ -50,6 +50,44 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_dims_bucketed")
 
 
+def test_write_bucketed_orphan_guard(spark):
+    """Stale-location recovery semantics (VERDICT r4 #6): a leftover managed
+    dir is deleted and rewritten ONLY when it looks like a completed orphan;
+    a dir with an in-flight _temporary staging dir (concurrent writer
+    marker) makes write_bucketed refuse loudly and leave the dir alone."""
+    import os
+    import shutil
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    table = "t_orphan_guard"
+    loc = TB._managed_location(spark, table)
+    assert loc is not None
+    try:
+        # case 1: mid-write dir (no catalog entry, _temporary present)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        os.makedirs(os.path.join(loc, "_temporary"))
+        with open(os.path.join(loc, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+        try:
+            TB.write_bucketed(df, table, "k", n_buckets=2)
+            raise AssertionError("expected refusal on mid-write dir")
+        except RuntimeError as e:
+            assert "refusing to delete" in str(e)
+        assert os.path.isdir(os.path.join(loc, "_temporary"))  # untouched
+        # case 2: completed orphan (no _temporary, _SUCCESS present)
+        shutil.rmtree(os.path.join(loc, "_temporary"))
+        with open(os.path.join(loc, "_SUCCESS"), "wb"):
+            pass
+        TB.write_bucketed(df, table, "k", n_buckets=2)
+        assert spark.read.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+
+
 def test_rolling_rate_telemetry(spark, tmp_path):
     """A4: rolling rows/sec over a trailing window of manifest events."""
     import os

@@ -836,6 +836,12 @@ def make_oracle_goldens(sf_dir: str = ORACLE_SF, only: list | None = None) -> No
 
 if __name__ == "__main__":
     only = [a for a in sys.argv[1:] if not a.startswith("-")] or None
+    if only is not None and "--oracle" not in sys.argv:
+        # positional query names only make sense for the oracle-golden
+        # subset path; without the flag this used to be a silent no-op
+        # (ADVICE r4) — imply --oracle instead.
+        print("make_golden: query names given — implying --oracle subset regen")
+        sys.argv.append("--oracle")
     if only is None:
         main()
     if "--oracle" in sys.argv:
