@@ -95,3 +95,49 @@ def test_prefilter_on_generator_source_still_trips_the_64kb_cliff():
         "the 64KB cliff is GONE — enable coarse_prefilter for the bench "
         "headline (BENCH/PLANS.md r4) and remove this canary"
     )
+
+
+_SCAN_PREFILTER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import __spark_entry__ as E
+from pgsql2osm_spark.operators import spatial_join as SJ
+from pgsql2osm_spark.session import get_spark
+
+spark = get_spark(
+    app="codegen_scan_prefilter", master="local[4]", shuffle_partitions=8,
+    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+# pip_convex: the registry query whose source is a REAL parquet scan, with
+# coarse_prefilter=True live in the plan (not folded)
+rows = sorted(r["id"] for r in
+              E.queries()["pip_convex"](spark, "/root/testdata/sf0.001").collect())
+# same join, prefilter OFF, directly on the same scan
+p = E._points(spark, "/root/testdata/sf0.001")
+region = [{{"region_id": 1, "rings": [np.asarray(E._HEX, dtype=np.float64)]}}]
+base = SJ.pip_join(spark, p, region, keep_cols=["id"], coarse_prefilter=False)
+rows_base = sorted(r["id"] for r in base.collect())
+assert rows == rows_base and len(rows) > 0, (rows[:3], rows_base[:3])
+spark.stop()
+print("ROWS_OK", len(rows))
+"""
+
+
+def test_scan_shaped_prefilter_compiles_whole_stage():
+    """VERDICT r4 #4 positive half: on a SCAN-shaped source (a real parquet
+    scan, not the fused bench generator) the coarse-ancestor InSet
+    prefilter stays inside whole-stage codegen — no 'Failed to compile' —
+    and the output equals the same join with the prefilter off."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCAN_PREFILTER.format(repo=repo)],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ROWS_OK" in proc.stdout
+    assert "Failed to compile" not in proc.stderr, (
+        "scan-shaped prefilter stage fell back to interpreted execution:\n"
+        + proc.stderr[-2000:]
+    )

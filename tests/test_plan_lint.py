@@ -42,3 +42,13 @@ def test_query_plan_shapes(spark, name):
     )
     cap = MAX_PY_STAGES.get(name, DEFAULT_MAX_PY)
     assert n_py <= cap, f"{name}: {n_py} Python stages (cap {cap})"
+    if name == "pip_convex":
+        # VERDICT r4 #4: the coarse-ancestor prefilter must land as an
+        # In/InSet predicate in the codegen Filter above the parquet scan
+        # (the 100 TB plan: most points die before the explode + hash
+        # probe). pip_fixture_regions also passes coarse_prefilter=True but
+        # its source is a LocalRelation, where ConvertToLocalRelation folds
+        # the filter at plan time — this query's FileSourceScan keeps it.
+        up = plan.upper()
+        assert "INSET" in up or " IN (" in up, f"coarse prefilter missing:\n{plan}"
+        assert "Scan parquet" in plan, plan
