@@ -8,12 +8,14 @@ the pixel-parity tests (PSNR >= 40 dB for lossy):
 * ``fmt='png'``  — a REAL, self-contained PNG codec (pure numpy + stdlib
   zlib/struct; 8-bit RGB, filter types 0-4 on decode, filter 0 on encode).
   Round-trips bit-exactly.
-* ``fmt='jpeg'`` — the container has no JPEG library (no PIL/cv2), so this is
-  a DETERMINISTIC LOSSY STAND-IN clearly marked as such: uniform quantization
-  (step 4) + zlib. It loses information like a real lossy codec (so the
-  PSNR>=40dB verification path is exercised for real: step-4 quantization
-  gives PSNR ~ 47 dB) while staying fully deterministic. Swapping in a real
-  JPEG codec changes only this module.
+* ``fmt='jpeg'`` — a REAL, from-scratch baseline-sequential JPEG codec
+  (functions/jpeg.py: Annex-K tables, Huffman entropy coding, 8x8 DCT,
+  4:4:4 and 4:2:0, DRI/RSTn on decode; the container has no PIL/cv2, so
+  the codec is pure numpy + stdlib, same pattern as the PNG codec here).
+  Lossy for real: the fixture encodes at quality 98 / 4:4:4, measured
+  PSNR ~ 43 dB on the fixture images (the >=40 dB gate is exercised by a
+  genuinely lossy round trip). Progressive/webp/avif remain the documented
+  NotImplementedError seam.
 * ``phash64`` — 64-bit DCT perceptual hash (mean-pool to 32x32 gray, 2D
   DCT-II via explicit cosine matrices, top-left 8x8 vs median).
 
@@ -31,8 +33,10 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_FAKE_JPEG_MAGIC = b"FJPG"
-_FAKE_JPEG_QSTEP = 4  # uniform quantization step -> PSNR ~= 47 dB
+# fixture/default encode quality: 98 keeps the measured PSNR ~43 dB on the
+# noisy fixture images, comfortably above the >=40 dB parity gate while
+# still being genuinely lossy (quality 96 measured ~37.8 — below the gate)
+DEFAULT_JPEG_QUALITY = 98
 
 
 # ---------------------------------------------------------------------------
@@ -117,39 +121,24 @@ def png_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic lossy stand-in ("jpeg" fmt slot).
+# JPEG (real from-scratch baseline codec — functions/jpeg.py).
 # ---------------------------------------------------------------------------
 
 
-def lossy_encode(pixels: np.ndarray) -> bytes:
-    """DETERMINISTIC LOSSY STAND-IN for JPEG (no JPEG lib in container).
-
-    Uniform quantization (step 4, round-to-nearest) + zlib. NOT a real JPEG
-    bitstream; decoders outside this repo will not read it. The information
-    loss is real, so PSNR-based parity tests are meaningful."""
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    q = ((px.astype(np.int32) + _FAKE_JPEG_QSTEP // 2) // _FAKE_JPEG_QSTEP).clip(0, 255 // _FAKE_JPEG_QSTEP)
-    body = zlib.compress(q.astype(np.uint8).tobytes(), 6)
-    return _FAKE_JPEG_MAGIC + struct.pack(">HHB", w, h, _FAKE_JPEG_QSTEP) + body
-
-
-def lossy_decode(data: bytes) -> np.ndarray:
-    if data[:4] != _FAKE_JPEG_MAGIC:
-        raise ValueError("not a FJPG payload")
-    w, h, step = struct.unpack(">HHB", data[4:9])
-    q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).astype(np.int32)
-    return (q * step).clip(0, 255).astype(np.uint8).reshape(h, w, 3)
-
-
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Dispatch on the fmt column — the decode kernel for mapInPandas stages."""
+    """Dispatch on the fmt column — the decode kernel for mapInPandas stages.
+
+    'jpeg' runs the from-scratch baseline-sequential decoder (jpeg.py);
+    progressive JPEG raises NotImplementedError from inside it — that and
+    the webp/avif branch here are the documented plug-a-codec seams."""
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
-        return lossy_decode(data)
+        from . import jpeg as _jpeg
+
+        return _jpeg.jpeg_decode(data)
     raise NotImplementedError(
-        f"fmt={fmt!r}: real image codecs (jpeg/webp/avif) are unavailable in this "
+        f"fmt={fmt!r}: webp/avif codecs are unavailable in this "
         "container; plug a decoder into decode_image() when deploying"
     )
 
@@ -158,7 +147,9 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)
     if fmt == "jpeg":
-        return lossy_encode(pixels)
+        from . import jpeg as _jpeg
+
+        return _jpeg.jpeg_encode(pixels, quality=DEFAULT_JPEG_QUALITY)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 

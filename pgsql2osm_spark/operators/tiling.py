@@ -33,7 +33,7 @@ def image_tile_stats(images: DataFrame, z: int) -> DataFrame:
     pixel statistics (the raster side of the raster<->vector join).
 
     The image's geotag anchors it to one tile at zoom z; pixel stats come
-    from the real decode (PNG exact / lossy stand-in). mapInPandas keeps the
+    from the real decode (PNG exact / baseline JPEG). mapInPandas keeps the
     decode vectorized per Arrow batch and bounds memory via
     spark.sql.execution.arrow.maxRecordsPerBatch.
     """
@@ -114,8 +114,8 @@ THUMB_SCHEMA = "image_id string, w int, h int, fmt string, thumb binary"
 
 def thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
     """Multimodal resize op: decode -> deterministic area-mean resize ->
-    re-encode PNG, Arrow batch at a time. Real end to end (PNG codec is
-    real; 'jpeg' rows decode through the documented lossy stand-in)."""
+    re-encode PNG, Arrow batch at a time. Real end to end (both the PNG
+    and the baseline-JPEG codecs are real, from scratch)."""
     import pandas as pd
 
     def run(pdf_iter):

@@ -55,11 +55,57 @@ def test_png_decode_all_filters():
     assert (I.png_decode(data) == px).all()
 
 
-def test_lossy_psnr_gate():
+def test_jpeg_psnr_gate():
+    """Real baseline JPEG round trip (VERDICT r4 #3): PSNR >= 40 dB at the
+    fixture quality, and genuinely lossy."""
     px = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
-    dec = I.lossy_decode(I.lossy_encode(px))
+    dec = I.decode_image(I.encode_image(px, "jpeg"), "jpeg")
     assert I.psnr_db(px, dec) >= 40.0
     assert not (dec == px).all()  # it is genuinely lossy
+
+
+def test_jpeg_stream_is_real_jfif():
+    """The bitstream is a real JFIF file: SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI
+    markers, standard zigzag, byte-stuffed entropy data."""
+    from pgsql2osm_spark.functions import jpeg as J
+
+    px = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)  # non-multiple of 8
+    data = J.jpeg_encode(px, quality=92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data
+    std_zigzag = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert list(J.ZIGZAG[:16]) == std_zigzag
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape  # odd sizes crop back exactly
+
+
+def test_jpeg_420_subsampled_decode():
+    """Decoder handles subsampled streams (2x2 luma MCUs + upsampled
+    chroma) — the common camera layout our 4:4:4 fixture doesn't use."""
+    from pgsql2osm_spark.functions import jpeg as J
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    px = np.stack([xx * 6, yy * 6, (xx + yy) * 3], axis=-1).clip(0, 255).astype(np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(px, quality=95, subsample="420"))
+    assert dec.shape == px.shape
+    assert I.psnr_db(px, dec) >= 30.0  # smooth image survives 4:2:0 fine
+
+
+def test_jpeg_progressive_seam_raises():
+    """Progressive JPEG (SOF2) hits the documented NotImplementedError
+    seam, not a garbage decode."""
+    import pytest
+
+    from pgsql2osm_spark.functions import jpeg as J
+
+    px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    data = bytearray(J.jpeg_encode(px))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        J.jpeg_decode(bytes(data))
 
 
 def test_unknown_fmt_raises():

@@ -597,6 +597,198 @@ def _indep_png_decode(data: bytes) -> list:
     return out
 
 
+def _indep_jpeg_decode(data: bytes) -> list:
+    """Second, scalar baseline-JPEG decoder (VERDICT r4 #3) — a deliberately
+    different formulation from functions/jpeg.py's numpy path: scalar marker
+    walk, dict-based canonical Huffman ((length, code) -> symbol vs the
+    engine's mincode/maxcode arrays), per-pixel IDCT via fsum over a
+    precomputed cosine table (vs the engine's einsum matmuls), scalar color
+    convert. Returns nested [h][w][3] python ints.
+
+    Determinism contract: every SAMPLE rounding decision (floor(v + 0.5)
+    after the IDCT) is asserted to carry a >= 1e-8 margin from its integer
+    boundary — ~1e5x above the measured fsum-vs-einsum drift — so the two
+    float formulations cannot round differently; generation FAILS LOUDLY on
+    a violation instead of pinning an unstable golden. The COLOR stage needs
+    no margin: its inputs are already-rounded integer-valued floats and the
+    expression order matches the engine's exactly (y + 1.402*cr;
+    (y - 0.344136*cb) - 0.714136*cr; y + 1.772*cb), so the arithmetic is
+    bit-identical by IEEE determinism. Only the fixture's own shape is
+    supported (8-bit baseline 4:4:4, no DRI) — asserted, not assumed."""
+    import math
+
+    assert data[:2] == b"\xff\xd8", "no SOI"
+    pos = 2
+    qtabs = {}
+    huff = {}   # (tc, th) -> dict[(length, code)] = symbol
+    frame = None
+    scan_pos = None
+    scan = None
+    while pos < len(data):
+        assert data[pos] == 0xFF, f"marker expected at {pos}"
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        payload = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                assert pq == 0, "8-bit quant tables only in the fixture"
+                zz = list(payload[p + 1:p + 65])
+                p += 65
+                qtabs[tq] = zz  # ZIGZAG order, as stored
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tcth = payload[p]
+                bits = list(payload[p + 1:p + 17])
+                vals = list(payload[p + 17:p + 17 + sum(bits)])
+                codes = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        codes[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tcth >> 4, tcth & 0xF)] = codes
+                p += 17 + sum(bits)
+        elif marker == 0xC0:
+            prec = payload[0]
+            fh = int.from_bytes(payload[1:3], "big")
+            fw = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            assert prec == 8 and nc == 3
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
+                assert hv == 0x11, "fixture is 4:4:4"
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDA:
+            ns = payload[0]
+            assert ns == 3
+            scan = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
+            scan_pos = pos
+            break
+        else:
+            assert marker in (0xE0, 0xFE) or 0xE0 <= marker <= 0xEF, (
+                f"unexpected marker 0xFF{marker:02X} in fixture jpeg"
+            )
+    assert frame is not None and scan_pos is not None
+    fh, fw, comps = frame
+
+    # scalar bit reader over the entropy segment (unstuffs FF00)
+    state = {"pos": scan_pos, "acc": 0, "n": 0}
+
+    def bit():
+        if state["n"] == 0:
+            b = data[state["pos"]]
+            if b == 0xFF:
+                assert data[state["pos"] + 1] == 0x00, "marker inside scan"
+                state["pos"] += 2
+            else:
+                state["pos"] += 1
+            state["acc"] = b
+            state["n"] = 8
+        state["n"] -= 1
+        return (state["acc"] >> state["n"]) & 1
+
+    def read_bits(k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | bit()
+        return v
+
+    def huff_decode(codes):
+        code, length = bit(), 1
+        while (length, code) not in codes:
+            code = (code << 1) | bit()
+            length += 1
+            assert length <= 16, "bad Huffman code"
+        return codes[(length, code)]
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    # zigzag pos -> (row, col), derived independently (T.81 diagonal walk:
+    # odd diagonals descend rows, even diagonals descend columns)
+    zz_rc = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+    cost = [[math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+            for u in range(8)]
+    alpha = [math.sqrt(0.125)] + [0.5] * 7
+
+    bx_n = (fw + 7) // 8
+    by_n = (fh + 7) // 8
+    pred = [0, 0, 0]
+    planes = [[[0.0] * (bx_n * 8) for _ in range(by_n * 8)] for _ in range(3)]
+    for my in range(by_n):
+        for mx in range(bx_n):
+            for ci, (cs, tdta) in enumerate(scan):
+                td, ta = tdta >> 4, tdta & 0xF
+                qt = qtabs[dict((cid, tq) for cid, tq in comps)[cs]]
+                s = huff_decode(huff[(0, td)])
+                diff = extend(read_bits(s), s) if s else 0
+                pred[ci] += diff
+                block = [[0.0] * 8 for _ in range(8)]
+                r0, c0 = zz_rc[0]
+                block[r0][c0] = float(pred[ci] * qt[0])
+                k = 1
+                while k < 64:
+                    rs = huff_decode(huff[(1, ta)])
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr == 15:
+                            k += 16
+                            continue
+                        break
+                    k += rr
+                    assert k <= 63, "AC overflow"
+                    r1, c1 = zz_rc[k]
+                    block[r1][c1] = float(extend(read_bits(s), s) * qt[k])
+                    k += 1
+                # scalar IDCT + margin-asserted half-up rounding per sample
+                for y_ in range(8):
+                    for x_ in range(8):
+                        v = math.fsum(
+                            alpha[u] * alpha[v_] * block[u][v_]
+                            * cost[u][x_] * cost[v_][y_]
+                            for u in range(8) for v_ in range(8)
+                        ) + 128.0
+                        t = v + 0.5
+                        fr = t - math.floor(t)
+                        assert min(fr, 1.0 - fr) >= 1e-8, (
+                            f"regenerate fixture: jpeg sample rounding margin "
+                            f"{min(fr, 1.0 - fr)} at block ({my},{mx}) comp {ci}"
+                        )
+                        planes[ci][my * 8 + x_][mx * 8 + y_] = float(
+                            min(max(math.floor(t), 0), 255)
+                        )
+    out = []
+    for r in range(fh):
+        row = []
+        for c in range(fw):
+            y_ = planes[0][r][c]
+            cb = planes[1][r][c] - 128.0
+            cr = planes[2][r][c] - 128.0
+            # EXACT engine expression order (bit-identical, see docstring)
+            rv = y_ + 1.402 * cr
+            gv = (y_ - 0.344136 * cb) - 0.714136 * cr
+            bv = y_ + 1.772 * cb
+            # no margin needed here: inputs are integer-valued floats and
+            # the expression order matches the engine exactly (docstring)
+            row.append([min(max(math.floor(v + 0.5), 0), 255)
+                        for v in (rv, gv, bv)])
+        out.append(row)
+    return out
+
+
 def _indep_phash(px: list) -> int:
     """Scalar phash recompute: per-pixel gray, explicit block-mean pool,
     DCT-II by direct cosine double sums (fsum), sorted-list median — vs the
@@ -644,11 +836,11 @@ def _indep_phash(px: list) -> int:
 
 def _check_image_decode_stats(pdf: pd.DataFrame, sf_dir: str) -> None:
     """Independent recompute of the raster leg: scalar second PNG decoder
-    (CRC-checked) / scalar fake-jpeg dequantizer for pixels, scalar phash,
-    and asinh-mercator tiles (cross-guarded against the engine's ln(tan+sec)
-    formulation at every point)."""
+    (CRC-checked) / scalar second baseline-JPEG decoder (margin-asserted
+    rounding) for pixels, scalar phash, and asinh-mercator tiles
+    (cross-guarded against the engine's ln(tan+sec) formulation at every
+    point)."""
     import math
-    import zlib as _z
 
     from pgsql2osm_spark.sources import fixtures as FX2
 
@@ -661,17 +853,8 @@ def _check_image_decode_stats(pdf: pd.DataFrame, sf_dir: str) -> None:
         if r.fmt == "png":
             px = _indep_png_decode(data)
         else:
-            assert data[:4] == b"FJPG"
-            w = data[4] * 256 + data[5]
-            h = data[6] * 256 + data[7]
-            step = data[8]
-            q = _z.decompress(data[9:])
-            assert len(q) == h * w * 3
-            px = [
-                [[min(q[(y * w + x) * 3 + k] * step, 255) for k in range(3)]
-                 for x in range(w)]
-                for y in range(h)
-            ]
+            assert data[:2] == b"\xff\xd8", "fixture jpeg rows must be JFIF"
+            px = _indep_jpeg_decode(data)
         la = min(max(float(r.lat), -85.05112878), 85.05112878)
         xt = min(max(int(math.floor((float(r.lon) + 180.0) / 360.0 * nz)), 0), nz - 1)
         merc = math.asinh(math.tan(math.radians(la)))
