@@ -4,8 +4,10 @@ Headline metric (BASELINE.json): images/sec through H3-encode + PIP-join +
 tile-assign over the synthetic image+caption point table, measured at two
 parallelism levels (local[N] and local[4N] standing in for N and 4N
 executors — no real cluster in this sandbox) with scaling efficiency
-throughput@4N / (4 x throughput@N). Results go to stdout as ONE JSON line
-and to BENCH/BASELINE.md.
+throughput@4N / (4 x throughput@N). Results go to stdout as TWO JSON
+lines — full detail first, then a compact summary LAST (sized to survive
+bounded tail capture; carries metric/value/unit/sf, every per-query
+timing, and the gate booleans) — and to BENCH/BASELINE.md.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir for the query suite (default sf0.1)
@@ -43,6 +45,19 @@ SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 # alongside the primary pair so the deviation from the named proxy is
 # quantified, not just argued (VERDICT r2 next #6). Empty string skips it.
 SENS_PAIR = os.environ.get("SPARK_GRAFT_SENS_PAIR", "8,32")
+# Named-pair measurement-window discipline (VERDICT r4 #1): the 8+32-thread
+# legs contend with ANY external load, so an attempt only STARTS once the
+# post-cooldown external load drops under a STRICT ceiling (r4 observation:
+# passing windows all had load < ~1.2-3), and is retried (bounded) if a
+# mid-run burst shows up in the post-run reading or the bracketing
+# calibrations. Validity is about the WINDOW, never the gate value — a
+# valid-window FAIL is published as FAIL (no cherry-picking).
+NAMED_WINDOW_CEILING = float(os.environ.get("SPARK_GRAFT_NAMED_WINDOW_CEILING", "3"))
+NAMED_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_NAMED_WAIT_MAX", "900"))
+NAMED_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_NAMED_ATTEMPTS", "3"))
+# calibration stability bound: ALU ratios measured before/after the rounds
+# drifting more than this means the window shifted mid-run -> invalid
+NAMED_CALIB_DRIFT = float(os.environ.get("SPARK_GRAFT_NAMED_CALIB_DRIFT", "0.15"))
 
 # headline pipeline resolutions (north rule: H3 res 7-11)
 RES_SET = (7, 8, 9, 10, 11)
@@ -207,6 +222,61 @@ def calibration_ratios(lo: int, hi: int) -> dict:
     return out
 
 
+def wait_quiet_window(ceiling: float, max_wait_s: float, poll_s: float = 30.0):
+    """Poll the 1-min loadavg until it drops under ``ceiling`` (accepted
+    window) or ``max_wait_s`` elapses (proceed anyway, flagged). Returns
+    (last_load, accepted, waited_s)."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load <= ceiling:
+            return round(load, 1), True, round(time.time() - t0, 1)
+        if time.time() - t0 >= max_wait_s:
+            return round(load, 1), False, round(time.time() - t0, 1)
+        time.sleep(poll_s)
+
+
+def _alu_rate(procs: int) -> float:
+    """Aggregate ALU spin rate across ``procs`` processes (counts/sec) —
+    the machine-capacity probe behind suite-time normalization."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        return sum(p.map(_calib_spin, range(procs))) / 1.5
+
+
+CALIB_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "CALIB.json"
+)
+
+
+def suite_normalization(rate_before: float, rate_after: float, loads: dict):
+    """Per-query load normalization (VERDICT r4 #8): times are scaled by
+    measured_alu_rate / reference_alu_rate, where the reference is the rate
+    recorded in BENCH/CALIB.json the first time the suite ran in a quiet
+    window (loadavg <= 2 on both sides). Under external load the measured
+    rate drops below the reference, so normalized time = raw * factor < raw
+    — comparable across rounds regardless of each round's load lottery."""
+    import json as _json
+
+    rate = (rate_before + rate_after) / 2.0
+    ref = None
+    if os.path.exists(CALIB_REF_PATH):
+        try:
+            ref = _json.load(open(CALIB_REF_PATH))
+        except Exception:
+            ref = None
+    if ref is None or ref.get("cpus") != CPUS:
+        if max(loads.get("before", 99), loads.get("after", 99)) <= 2.0:
+            ref = {"alu_rate_ref": rate, "cpus": CPUS, "loads_at_ref": loads}
+            os.makedirs(os.path.dirname(CALIB_REF_PATH), exist_ok=True)
+            _json.dump(ref, open(CALIB_REF_PATH, "w"))
+        else:
+            return None, None  # no quiet reference available yet
+    factor = min(rate / ref["alu_rate_ref"], 1.0)
+    return round(factor, 4), ref["alu_rate_ref"]
+
+
 def run_query_suite(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as E
     from pgsql2osm_spark.session import get_spark
@@ -231,26 +301,38 @@ def run_query_suite(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
 LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_LOAD_CEILING", "8"))
 
 
-def main():
-    lo_cores = SCALE_LO
-    res_lo, res_hi, eff_stats = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
-    efficiency = eff_stats["median"]
-    # headline staleness gate (VERDICT r3 #8): if even the CLEANEST window
-    # during the run (min pre-leg loadavg — later readings carry our own
-    # decay tail) exceeded the ceiling, the published headline is marked
-    # stale rather than silently absorbed.
-    headline_stale = eff_stats["load_min"] > LOAD_CEILING
+def run_named_pair(s_lo: int, s_hi: int):
+    """Named-pair measurement with window discipline (VERDICT r4 #1).
+
+    Each bounded attempt: cooldown + wait for an ACCEPTED quiet window
+    (external load <= NAMED_WINDOW_CEILING), bracket the interleaved rounds
+    with machine-capacity calibrations taken INSIDE that window, then a
+    post-run cooldown reading. An attempt is VALID iff the window was
+    accepted, the post-run external reading stays under the staleness
+    ceiling, and the two calibrations agree within NAMED_CALIB_DRIFT (a
+    mid-run burst shifts them) — so a burst invalidates the ROUND, never
+    flips the gate. The first valid attempt is published as-is (a
+    valid-window FAIL stays FAIL: validity is about the window, never the
+    value); if all attempts are invalid, the last one is published stale."""
     sens = None
-    if SENS_PAIR:
-        s_lo, s_hi = (int(v) for v in SENS_PAIR.split(","))
-        # 60s cooldown: the 1-min loadavg otherwise still carries the decay
-        # tail of the primary pair's own legs, which would both depress the
-        # pre-round gather calibration and falsely trip the staleness rule
+    attempts = []
+    for att in range(1, NAMED_ATTEMPTS + 1):
+        # 60s cooldown first: the 1-min loadavg carries the decay tail of
+        # our own just-finished legs (measured ~13-16 on an idle box)
         time.sleep(60)
-        ext_load = round(os.getloadavg()[0], 1)
+        ext0, accepted, waited = wait_quiet_window(
+            NAMED_WINDOW_CEILING, NAMED_WAIT_MAX_S
+        )
         calib0 = calibration_ratios(s_lo, s_hi)
         sres_lo, sres_hi, sens_stats = run_scaling_pair(s_lo, s_hi, BENCH_N)
         calib1 = calibration_ratios(s_lo, s_hi)
+        time.sleep(90)  # decay our own tail before the one honest reading
+        ext1 = round(os.getloadavg()[0], 1)
+        drift = max(
+            abs(calib0["alu"] - calib1["alu"]),
+            abs(calib0["gather"] - calib1["gather"]),
+        )
+        valid = accepted and ext1 <= LOAD_CEILING and drift <= NAMED_CALIB_DRIFT
         # Formal named-pair criterion (adopted r4 per VERDICT r3 #5's
         # alternative): the engine's gather-shaped dominant op cannot beat
         # the machine's own memory-system scaling on a single socket, so
@@ -261,23 +343,94 @@ def main():
             (calib0["alu"] + calib1["alu"]) / 2
             + (calib0["gather"] + calib1["gather"]) / 2
         ) / 2
-        # staleness from the POST-COOLDOWN external load reading: pre-leg
-        # readings inside the named rounds are dominated by the decay tail
-        # of our own just-finished 32-thread legs (measured: ~13-16 with
-        # the machine otherwise idle), so they cannot gate anything; the
-        # cooldown reading is the one honest external estimate. The named
-        # pair's 8+32 threads do contend with genuine external bursts,
-        # which is exactly what this flags.
         sens = {
             "lo": sres_lo, "hi": sres_hi, "stats": sens_stats,
             "lo_cores": s_lo, "hi_cores": s_hi,
             "calib_before": calib0, "calib_after": calib1,
+            "calib_drift": round(drift, 3),
             "midpoint": round(mid, 3),
             "gate_pass": sens_stats["median"] >= mid,
-            "stale": ext_load > LOAD_CEILING,
-            "ext_load": ext_load,
+            "stale": not valid,
+            "window_accepted": accepted,
+            "window_waited_s": waited,
+            "ext_load": ext0,
+            "ext_load_after": ext1,
+            "attempt": att,
         }
+        attempts.append({
+            "attempt": att, "valid": valid, "accepted": accepted,
+            "ext_before": ext0, "ext_after": ext1,
+            "calib_drift": round(drift, 3),
+            "median": round(sens_stats["median"], 3),
+            "midpoint": round(mid, 3),
+            "gate_pass": sens["gate_pass"],
+        })
+        if valid:
+            break
+        print(
+            f"bench: named-pair attempt {att} invalid "
+            f"(accepted={accepted} ext_after={ext1} drift={drift:.3f}) — "
+            + ("retrying" if att < NAMED_ATTEMPTS else "out of attempts"),
+            file=sys.stderr,
+        )
+    sens["attempts"] = attempts
+    return sens
+
+
+def main():
+    lo_cores = SCALE_LO
+    # primary pair: short tolerant wait so the published headline starts in
+    # a window that can pass its own staleness rule
+    wait_quiet_window(LOAD_CEILING, 300)
+    res_lo, res_hi, eff_stats = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
+    efficiency = eff_stats["median"]
+    # headline staleness gate (VERDICT r3 #8): if even the CLEANEST window
+    # during the run (min pre-leg loadavg — later readings carry our own
+    # decay tail) exceeded the ceiling, the published headline is marked
+    # stale rather than silently absorbed.
+    headline_stale = eff_stats["load_min"] > LOAD_CEILING
+    sens = None
+    if SENS_PAIR:
+        s_lo, s_hi = (int(v) for v in SENS_PAIR.split(","))
+        sens = run_named_pair(s_lo, s_hi)
+    # suite bracketed by ALU capacity probes -> load-normalized timings
+    rate_before = _alu_rate(CPUS)
     queries, suite_loads = run_query_suite(SF_DIR)
+    rate_after = _alu_rate(CPUS)
+    norm_factor, ref_rate = suite_normalization(rate_before, rate_after, suite_loads)
+    queries_norm = (
+        {k: round(v * norm_factor, 3) for k, v in queries.items() if v >= 0}
+        if norm_factor is not None
+        else None
+    )
+    # per-query deltas vs the previous round's (normalized when available)
+    # timings — BENCH/prev_queries.json is rewritten by every run
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "prev_queries.json"
+    )
+    prev = None
+    if os.path.exists(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+        except Exception:
+            prev = None
+    deltas = None
+    if prev is not None:
+        base_q = queries_norm or queries
+        deltas = {
+            k: round(base_q[k] / prev["queries"][k] - 1.0, 3)
+            for k in base_q
+            if k in prev["queries"] and prev["queries"][k] > 0
+        }
+    os.makedirs(os.path.dirname(prev_path), exist_ok=True)
+    json.dump(
+        {
+            "queries": queries_norm or queries,
+            "normalized": queries_norm is not None,
+            "suite_loads": suite_loads,
+        },
+        open(prev_path, "w"),
+    )
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
@@ -364,11 +517,21 @@ non-scaling term, and every in-stage mitigation is either marginal or
 trips janino's 64KB codegen limit in the bench harness — a real
 4N-executor cluster multiplies memory systems with executors, which this
 proxy cannot). Midpoint = **{sens['midpoint']:.3f}**; engine
-{sens['stats']['median']:.3f} -> **{"PASS" if sens['gate_pass'] else "FAIL"}**
-(post-cooldown external load {sens['ext_load']:.1f} vs ceiling {LOAD_CEILING:.0f}:
-{"STALE — the window was externally contended, rerun in a quieter one" if sens['stale'] else "measurement window valid"};
-in-round loadavg readings carry the decay tail of our own previous legs
-and do not gate).
+{sens['stats']['median']:.3f} -> **{"PASS" if sens['gate_pass'] else "FAIL"}**.
+
+Measurement-window validity (r5 discipline, VERDICT r4 #1): attempt
+{sens['attempt']}/{NAMED_ATTEMPTS} ran in a window ACCEPTED at external
+load {sens['ext_load']:.1f} <= {NAMED_WINDOW_CEILING:.0f} (waited
+{sens['window_waited_s']:.0f}s for it), post-run external reading
+{sens['ext_load_after']:.1f} vs staleness ceiling {LOAD_CEILING:.0f}, and
+the bracketing calibrations drifted {sens['calib_drift']:.3f}
+(<= {NAMED_CALIB_DRIFT:.2f} required — a mid-run burst shifts them, which
+invalidates the ROUND rather than flipping the gate). Verdict:
+**{"STALE — no valid window admitted the measurement within the bounded attempts; rerun in a quieter period" if sens['stale'] else "VALID window"}**.
+Attempt log: {sens['attempts']}.
+In-round loadavg readings carry the decay tail of our own previous legs
+and do not gate; validity is about the window, never the measured value
+(a valid-window FAIL is published as FAIL).
 The primary pair's levels (2 and 8 threads, both far under the socket's
 memory-parallelism knee and under worst-case external load) stay inside
 the linear regime at both legs, which is why the absolute >= 0.8 criterion
@@ -382,8 +545,31 @@ This engine at local[{SCALE_HI}]: {res_hi['images_per_sec']:,.0f} images/s
 ({res_hi['images_per_sec']/6700:.0f}x the reference's best rate).
 
 Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json.
+
+## Per-query suite, load-normalized (VERDICT r4 #8)
+
+Suite bracketed by {CPUS}-process ALU capacity probes: measured rate
+{rate_before:,.0f} / {rate_after:,.0f} counts/s (before/after),
+quiet-reference {'%0.0f' % ref_rate if ref_rate else 'NOT YET RECORDED'}
+(BENCH/CALIB.json), normalization factor
+{('%0.3f' % norm_factor) if norm_factor is not None else 'n/a — no quiet reference; raw timings published'}
+(normalized time = raw x factor; comparable across rounds regardless of
+each round's external-load lottery). Suite loadavg before/after:
+{suite_loads}. Deltas compare against the previous run's stored
+{'normalized' if (prev or {}).get('normalized') else 'RAW (pre-r5, load-confounded)'} timings.
 """
         )
+        if queries_norm is not None:
+            f.write("\n| query | raw s | norm s | delta vs prev |\n|---|---|---|---|\n")
+            for k in sorted(queries):
+                d = (
+                    f"{deltas[k]:+.1%}" if deltas is not None and k in deltas else "—"
+                )
+                nv = queries_norm.get(k)
+                f.write(
+                    f"| {k} | {queries[k]:.2f} | "
+                    f"{nv if nv is None else format(nv, '.2f')} | {d} |\n"
+                )
     result = {
         "metric": "headline_h3_pip_tile_wall_sec_at_4N",  # value is SECONDS per the
         # driver contract (unit: sec); throughput lives in images_per_sec_{lo,hi}
@@ -407,6 +593,10 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         "load_ceiling": LOAD_CEILING,
         "headline_stale": headline_stale,
         "suite_loads": suite_loads,
+        "suite_alu_rate": [round(rate_before, 0), round(rate_after, 0)],
+        "suite_norm_factor": norm_factor,
+        "queries_normalized": queries_norm,
+        "query_delta_vs_prev": deltas,
     }
     if sens is not None:
         result["scaling_efficiency_named_pair"] = round(sens["stats"]["median"], 3)
@@ -421,10 +611,46 @@ Per-query wall seconds at {SF_DIR} (noop sink, local[{CPUS}]): see BENCH_r*.json
         result["named_pair_gate_pass"] = sens["gate_pass"]
         result["named_pair_stale"] = sens["stale"]
         result["named_pair_ext_load"] = sens["ext_load"]
+        result["named_pair_ext_load_after"] = sens["ext_load_after"]
+        result["named_pair_window"] = {
+            "accepted": sens["window_accepted"],
+            "waited_s": sens["window_waited_s"],
+            "ceiling": NAMED_WINDOW_CEILING,
+            "calib_drift": sens["calib_drift"],
+            "attempt": sens["attempt"],
+            "attempts": sens["attempts"],
+        }
         result["named_pair_loads"] = {
             "lo": sens["lo"]["loads"], "hi": sens["hi"]["loads"],
         }
+    # Two-line output (VERDICT r4 #2): the FULL detail record first, then a
+    # COMPACT line LAST sized to survive the driver's bounded tail capture
+    # (r4's single fat line lost its head -> parsed: null). The compact
+    # line alone carries the contract fields (metric/value/unit/sf) plus
+    # all per-query timings and the gate booleans.
     print(json.dumps(result))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "scaling_efficiency": result["scaling_efficiency"],
+        "headline_stale": headline_stale,
+        "images_per_sec_hi": result["images_per_sec_hi"],
+    }
+    if sens is not None:
+        compact["scaling_efficiency_named_pair"] = result[
+            "scaling_efficiency_named_pair"
+        ]
+        compact["named_pair_midpoint"] = sens["midpoint"]
+        compact["named_pair_gate_pass"] = sens["gate_pass"]
+        compact["named_pair_stale"] = sens["stale"]
+    compact["queries"] = {k: round(v, 3) for k, v in queries.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: coarser rounding, never truncation
+        compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,75 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zoom", type=int, default=12)
     p.add_argument("--job-id", default="cli")
     p.add_argument("--cores", default=None)
+    # curation-funnel subcommand (VERDICT r4 #7): --input is a documents
+    # parquet (doc_id, text[, lang]); --out receives the surviving chunk
+    # coordinates (manifest-tracked) + per-stage survivor counts
+    p.add_argument(
+        "--curate", action="store_true",
+        help="run the curation funnel instead of the spatial pipeline: "
+        "lang-ID -> quality -> exact-dedup -> decontaminate -> repetition "
+        "-> PII -> mixture -> chunking (operators/curation.funnel_flags, "
+        "the same single-lineage composition as the pipeline_funnel query)",
+    )
+    p.add_argument(
+        "--benchmark", default=None,
+        help="[--curate] parquet of benchmark documents (doc_id, text) to "
+        "decontaminate against; omitted -> stage 5 passes everything",
+    )
+    p.add_argument(
+        "--mix-weights", default=None,
+        help='[--curate] JSON {"lang": weight, ...} for the domain-mixture '
+        "downsample; omitted -> stage 8 keeps all stage-7 survivors",
+    )
+    p.add_argument("--total-target", type=int, default=60,
+                   help="[--curate] mixture total target (with --mix-weights)")
+    p.add_argument("--chunk-size", type=int, default=48)
+    p.add_argument("--chunk-overlap", type=int, default=8)
     return p
+
+
+def run_curate(args, spark) -> int:
+    """--curate: documents parquet -> per-stage survivor counts (stdout
+    JSON lines + {out}/stage_counts parquet) + surviving chunk coordinates
+    ({out}/chunks via the manifest-tracked partitioned writer, resumable
+    like the tile sink)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CU
+    from .plans import manifest as M
+
+    docs = spark.read.parquet(args.input)
+    need = {"doc_id", "text"}
+    if not need <= set(docs.columns):
+        print(f"--curate input needs columns {sorted(need)}", file=sys.stderr)
+        return 2
+    weights = _json.loads(args.mix_weights) if args.mix_weights else None
+    if weights is not None and "lang" not in docs.columns:
+        print("--mix-weights needs a lang column in the input", file=sys.stderr)
+        return 2
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    flags = CU.funnel_flags(
+        docs.select(*(["doc_id", "text"] + (["lang"] if "lang" in docs.columns else []))),
+        benchmark=bench, mix_weights=weights, total_target=args.total_target,
+    )
+    chunks = CU.funnel_chunks(
+        flags, size=args.chunk_size, overlap=args.chunk_overlap
+    ).withColumn("bucket", F.abs(F.xxhash64("doc_id")) % 64)
+    M.write_stage_with_manifest(
+        spark, chunks, args.out, job_id=args.job_id, stage="chunks",
+        bucket_col="bucket",
+    )
+    counts = CU.funnel_counts(
+        flags, size=args.chunk_size, overlap=args.chunk_overlap
+    )
+    counts.write.mode("overwrite").parquet(f"{args.out}/stage_counts")
+    for row in counts.collect():
+        print(_json.dumps({"stage": row["stage"], "n": row["n"]}))
+    for row in M.job_progress(spark, args.out, args.job_id).collect():
+        print(_json.dumps(row.asDict()))
+    return 0
 
 
 def _geojson_rings(path: str) -> list:
@@ -83,7 +151,7 @@ def main(argv=None, spark=None) -> int:
     from .session import get_spark
     from .sources import regions as RG
 
-    if not (args.bbox or args.iso or args.geojson or args.osm_rel_id):
+    if not args.curate and not (args.bbox or args.iso or args.geojson or args.osm_rel_id):
         # the reference's "no boundary provided" guard (settings.py:143-146)
         print(
             "error: no boundary provided; for the whole planet use "
@@ -96,6 +164,11 @@ def main(argv=None, spark=None) -> int:
         spark = get_spark(
             app="pgsql2osm_spark_cli", master=f"local[{args.cores}]" if args.cores else None
         )
+    if args.curate:
+        rc = run_curate(args, spark)
+        if owns_session:
+            spark.stop()
+        return rc
     pts = spark.read.parquet(args.input)
 
     region_list = None   # driver-side rings (fixture/geojson/bbox paths)

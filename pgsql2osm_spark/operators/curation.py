@@ -326,3 +326,120 @@ def pii_scrub_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
                md5({s3}) AS scrubbed_md5
         FROM documents ORDER BY {id_col}
     """  # noqa: S608 — oracle text, parameters are module constants
+
+
+# ---------------------------------------------------------------------------
+# The full curation funnel (shared by q_pipeline_funnel and the CLI).
+# ---------------------------------------------------------------------------
+
+
+def funnel_flags(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    mix_weights: dict[str, int] | None = None,
+    total_target: int = 60,
+    contam_n: int = 8,
+    rep_n: int = 3,
+) -> DataFrame:
+    """Per-document survivor flags for the FULL curation funnel on ONE
+    lineage (VERDICT r3 #7 composition, extracted to the library r5 so the
+    CLI ``--curate`` subcommand and the pipeline_funnel entry query drive
+    the SAME implementation).
+
+    Stages -> chained boolean columns (each referencing the previous by
+    NAME — no duplicated expression subtrees): s2 lang-ID, s3 quality,
+    s4 exact-dedup rank-1, s5 decontamination (skipped -> all pass when
+    ``benchmark`` is None), s6 repetition, s7 PII-clean, s8 domain-mixture
+    downsample (skipped -> s8 == s7 when ``mix_weights`` is None).
+
+    Scale shape: every flag is a projected column over a single corpus
+    scan; the only side inputs are the tiny contaminated id set (broadcast
+    left join; NOTE constructing it runs the documented eager count probe)
+    and the per-domain thresholds (small agg over stage-7 survivors off a
+    lazy localCheckpoint, broadcast back). The one wide shuffle is the
+    exact-dedup fingerprint window — the same shuffle exact_dedup needs."""
+    from pyspark.sql import Window
+
+    from . import sampling as SP
+    from . import text as TX
+
+    feats = TX.with_lang_id(TX.quality_features(docs))
+    w = Window.partitionBy(TX.fingerprint_col()).orderBy(F.col("doc_id").asc())
+    flags = with_repetition_flags(
+        feats.withColumn("_dup_rank", F.row_number().over(w)), n=rep_n
+    ).withColumn("pii_clean", pii_clean_col())
+    if benchmark is not None:
+        cont = contaminated_ids(docs, benchmark, n=contam_n)
+        flags = flags.join(
+            F.broadcast(cont.withColumn("_contam", F.lit(True))), "doc_id", "left"
+        ).withColumn("contaminated", F.coalesce("_contam", F.lit(False)))
+    else:
+        flags = flags.withColumn("contaminated", F.lit(False))
+    flags = (
+        flags.withColumn("s2", F.col("pred_lang") != "und")
+        .withColumn("s3", F.col("s2") & F.col("quality_ok"))
+        .withColumn("s4", F.col("s3") & (F.col("_dup_rank") == 1))
+        .withColumn("s5", F.col("s4") & ~F.col("contaminated"))
+        .withColumn("s6", F.col("s5") & ~F.col("repetitive"))
+        .withColumn("s7", F.col("s6") & F.col("pii_clean"))
+        .localCheckpoint(eager=False)  # reused: threshold agg + final agg
+    )
+    if mix_weights is not None:
+        counts7 = flags.where("s7").groupBy("lang").agg(
+            F.count(F.lit(1)).alias("_nd")
+        )
+        thr = SP.domain_thresholds(
+            counts7, "lang", mix_weights, total_target=total_target
+        )
+        flags = flags.join(F.broadcast(thr), "lang", "left").withColumn(
+            "s8",
+            F.col("s7")
+            & F.col("_thr").isNotNull()
+            & (SP.hash_col("doc_id") < F.col("_thr")),
+        )
+    else:
+        flags = flags.withColumn("s8", F.col("s7"))
+    return flags
+
+
+def funnel_counts(flags: DataFrame, size: int = 48, overlap: int = 8) -> DataFrame:
+    """Fold the funnel's per-stage survivor counts into ONE aggregate,
+    unpivoted by map-explode (a per-stage union would re-execute the agg
+    subtree per branch). Stage 9's unit is RAG chunk windows of ``size``
+    tokens with ``overlap`` over the final (s8) survivors."""
+    stride = size - overlap
+    nc = F.when(F.col("n_tokens") <= size, F.lit(1).cast("long")).otherwise(
+        F.lit(1)
+        + F.expr(f"CAST(n_tokens - {size} + {stride} - 1 AS BIGINT) DIV {stride}")
+    )
+    flags = flags.withColumn(
+        "_nc",
+        F.when(F.col("s8") & (F.col("n_tokens") > 0), nc).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    stages = [("2_lang", "s2"), ("3_quality", "s3"), ("4_dedup", "s4"),
+              ("5_decontam", "s5"), ("6_repetition", "s6"), ("7_pii", "s7"),
+              ("8_mixture", "s8")]
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        *[F.sum(F.col(c).cast("long")).alias(f"n{c}") for _, c in stages],
+        F.sum("_nc").alias("n_chunks"),
+    )
+    pairs = [F.lit("1_raw"), F.col("n_raw")]
+    for name, c in stages:
+        pairs += [F.lit(name), F.col(f"n{c}")]
+    pairs += [F.lit("9_chunks"), F.col("n_chunks")]
+    return agg.select(
+        F.explode(F.create_map(*pairs)).alias("stage", "n")
+    ).orderBy("stage")
+
+
+def funnel_chunks(flags: DataFrame, size: int = 48, overlap: int = 8) -> DataFrame:
+    """Surviving (s8) documents' RAG chunk coordinates — the funnel's final
+    materialized output for the CLI (doc_id, chunk_idx, start, end)."""
+    from . import packing as PK
+
+    return PK.chunk_windows(
+        flags.where("s8").select("doc_id", "text"), size=size, overlap=overlap
+    )

@@ -333,3 +333,45 @@ def test_continent_partitioned_pip_all_regions(spark, continent):
     for reg in continent["regions"]:
         exp = _numpy_region_ids(continent, reg)
         assert got.get(reg["region_id"], set()) == exp, reg["name"]
+
+
+def test_cli_curate_matches_funnel_query(spark, tmp_path):
+    """--curate e2e (VERDICT r4 #7): the CLI drives curation.funnel_flags —
+    the SAME composition as the pipeline_funnel entry query — so its
+    per-stage counts equal the query's output on the same documents, and
+    the manifest-tracked chunk rows equal the 9_chunks stage count."""
+    import json
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    docs.where("doc_id < 5").select("doc_id", "text").write.parquet(bench_path)
+    out = str(tmp_path / "curated")
+    rc = cli.main(
+        ["--input", f"{sf}/documents.parquet", "--curate",
+         "--benchmark", bench_path,
+         "--mix-weights", json.dumps(E._MIX_WEIGHTS),
+         "--total-target", "60", "--chunk-size", "48", "--chunk-overlap", "8",
+         "--out", out, "--job-id", "curate_e2e"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {
+        (r["stage"], r["n"])
+        for r in spark.read.parquet(f"{out}/stage_counts").collect()
+    }
+    exp = {
+        (r["stage"], r["n"])
+        for r in E.queries()["pipeline_funnel"](spark, sf).collect()
+    }
+    assert got == exp, got ^ exp
+    n_chunks = dict(got)["9_chunks"]
+    chunk_rows = spark.read.parquet(f"{out}/chunks").count()
+    assert chunk_rows == n_chunks and n_chunks > 0
+    # manifest telemetry agrees with the data actually written
+    from pgsql2osm_spark.plans import manifest as M
+
+    prog = {r["stage"]: r["rows"] for r in M.job_progress(spark, out, "curate_e2e").collect()}
+    assert prog["chunks"] == n_chunks
