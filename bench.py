@@ -176,27 +176,77 @@ def run_scaling_pair(
                                         "load_min": min(min(v) for v in loads.values())}
 
 
-def _calib_spin(_):
-    t0 = time.time()
+def _rate_worker(kind: str, barrier, q, secs: float = 1.5) -> None:
+    """One calibration worker: set up, WARM UP (page-fault the arrays in),
+    sync on the barrier so every worker's timed window overlaps, then time
+    whole iterations against its OWN elapsed clock. Returns ops/sec.
+
+    (r5 fix: the r4 harness divided by a nominal 1.5s and had no start
+    sync or warmup — a cold first iteration could exceed the whole window
+    and fork stagger de-overlapped the windows, producing gather ratios
+    as absurd as 17x on a quiet machine.)"""
+    if kind == "gather":
+        tbl, idx = _GATHER_SHARED  # COW-shared with the parent (see below)
+        tbl[idx].sum()  # warmup: fault pages, warm caches/JIT paths
+
+        def step() -> int:
+            tbl[idx].sum()
+            return len(idx)
+    else:
+
+        def step() -> int:
+            n = 0
+            for _ in range(100000):
+                n += 1
+            return n
+
+    step()
+    barrier.wait(timeout=120)
+    t0 = time.perf_counter()
     n = 0
-    while time.time() - t0 < 1.5:
-        for _ in range(100000):
-            n += 1
-    return n
+    while time.perf_counter() - t0 < secs:
+        n += step()
+    q.put(n / (time.perf_counter() - t0))
 
 
-def _calib_gather(_):
-    import numpy as np
+_GATHER_SHARED = None
 
-    rng = np.random.default_rng(0)
-    idx = rng.integers(0, 1 << 20, 4_000_000)
-    tbl = np.random.default_rng(1).standard_normal(1 << 20)  # 8 MB table
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < 1.5:
-        tbl[idx].sum()
-        n += len(idx)
-    return n
+
+def _init_gather_shared():
+    """Build the gather table ONCE in the parent so forked workers share it
+    copy-on-write — the same physiology as local-mode Spark's broadcast
+    hash relation (ONE read-only copy probed by all threads), rather than
+    N private tables that overflow L3 in aggregate and measure DRAM
+    bandwidth instead."""
+    global _GATHER_SHARED
+    if _GATHER_SHARED is None:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 1 << 20, 4_000_000)
+        tbl = np.random.default_rng(1).standard_normal(1 << 20)  # 8 MB table
+        _GATHER_SHARED = (tbl, idx)
+
+
+def _machine_rate(kind: str, procs: int) -> float:
+    """Aggregate ops/sec of ``procs`` barrier-synchronized workers."""
+    import multiprocessing as mp
+
+    if kind == "gather":
+        _init_gather_shared()
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(procs)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_rate_worker, args=(kind, barrier, q))
+        for _ in range(procs)
+    ]
+    for p in ps:
+        p.start()
+    rates = [q.get(timeout=180) for _ in range(procs)]
+    for p in ps:
+        p.join()
+    return sum(rates)
 
 
 def calibration_ratios(lo: int, hi: int) -> dict:
@@ -209,15 +259,13 @@ def calibration_ratios(lo: int, hi: int) -> dict:
       probe: its ratio is the ceiling for memory-latency-bound work on this
       single-socket box (one shared memory system across all threads — the
       resource a real 4N-executor cluster multiplies with executors).
-    """
-    import multiprocessing as mp
 
+    Workers are barrier-synchronized with warmup and self-timed windows
+    (see _rate_worker) so the ratio reflects steady-state contention, not
+    fork stagger or first-touch page faulting."""
     out = {}
-    for name, fn in (("alu", _calib_spin), ("gather", _calib_gather)):
-        rates = {}
-        for procs in (lo, hi):
-            with mp.Pool(procs) as p:
-                rates[procs] = sum(p.map(fn, range(procs))) / 1.5
+    for name in ("alu", "gather"):
+        rates = {procs: _machine_rate(name, procs) for procs in (lo, hi)}
         out[name] = round((rates[hi] / rates[lo]) / (hi / lo), 3)
     return out
 
@@ -237,12 +285,9 @@ def wait_quiet_window(ceiling: float, max_wait_s: float, poll_s: float = 30.0):
 
 
 def _alu_rate(procs: int) -> float:
-    """Aggregate ALU spin rate across ``procs`` processes (counts/sec) —
-    the machine-capacity probe behind suite-time normalization."""
-    import multiprocessing as mp
-
-    with mp.Pool(procs) as p:
-        return sum(p.map(_calib_spin, range(procs))) / 1.5
+    """Aggregate ALU spin rate across ``procs`` barrier-synced processes
+    (counts/sec) — the machine-capacity probe behind suite normalization."""
+    return _machine_rate("alu", procs)
 
 
 CALIB_REF_PATH = os.path.join(
@@ -250,29 +295,48 @@ CALIB_REF_PATH = os.path.join(
 )
 
 
-def suite_normalization(rate_before: float, rate_after: float, loads: dict):
-    """Per-query load normalization (VERDICT r4 #8): times are scaled by
-    measured_alu_rate / reference_alu_rate, where the reference is the rate
-    recorded in BENCH/CALIB.json the first time the suite ran in a quiet
-    window (loadavg <= 2 on both sides). Under external load the measured
-    rate drops below the reference, so normalized time = raw * factor < raw
-    — comparable across rounds regardless of each round's load lottery."""
+def maybe_write_calib_ref(start_load: float) -> None:
+    """Record the quiet-machine ALU reference rate (BENCH/CALIB.json) when
+    the run STARTS in a genuinely quiet window (external load <= 2, before
+    any of our own Spark legs pollute the loadavg). Later rounds reuse it."""
     import json as _json
 
-    rate = (rate_before + rate_after) / 2.0
-    ref = None
+    if NO_PERSIST or start_load > 2.0:
+        return
     if os.path.exists(CALIB_REF_PATH):
         try:
-            ref = _json.load(open(CALIB_REF_PATH))
+            if _json.load(open(CALIB_REF_PATH)).get("cpus") == CPUS:
+                return
         except Exception:
-            ref = None
-    if ref is None or ref.get("cpus") != CPUS:
-        if max(loads.get("before", 99), loads.get("after", 99)) <= 2.0:
-            ref = {"alu_rate_ref": rate, "cpus": CPUS, "loads_at_ref": loads}
-            os.makedirs(os.path.dirname(CALIB_REF_PATH), exist_ok=True)
-            _json.dump(ref, open(CALIB_REF_PATH, "w"))
-        else:
-            return None, None  # no quiet reference available yet
+            pass
+    rate = _alu_rate(CPUS)
+    os.makedirs(os.path.dirname(CALIB_REF_PATH), exist_ok=True)
+    _json.dump(
+        {"alu_rate_ref": rate, "cpus": CPUS, "load_at_ref": start_load},
+        open(CALIB_REF_PATH, "w"),
+    )
+
+
+def suite_normalization(rate_before: float, rate_after: float):
+    """Per-query load normalization (VERDICT r4 #8): times are scaled by
+    measured_alu_rate / reference_alu_rate, where the reference is the
+    quiet-window rate in BENCH/CALIB.json (maybe_write_calib_ref). Under
+    external load the measured rate drops below the reference, so
+    normalized time = raw * factor < raw — comparable across rounds
+    regardless of each round's load lottery. The ALU probe measures real
+    spare CAPACITY directly, so it stays valid even while the loadavg still
+    carries the decay tail of our own earlier legs."""
+    import json as _json
+
+    if not os.path.exists(CALIB_REF_PATH):
+        return None, None  # no quiet reference recorded yet
+    try:
+        ref = _json.load(open(CALIB_REF_PATH))
+    except Exception:
+        return None, None
+    if ref.get("cpus") != CPUS:
+        return None, None
+    rate = (rate_before + rate_after) / 2.0
     factor = min(rate / ref["alu_rate_ref"], 1.0)
     return round(factor, 4), ref["alu_rate_ref"]
 
@@ -299,6 +363,9 @@ def run_query_suite(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
 
 
 LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_LOAD_CEILING", "8"))
+# dry-run switch: exercise the full flow but leave BENCH/BASELINE.md,
+# BENCH/prev_queries.json and BENCH/CALIB.json untouched
+NO_PERSIST = os.environ.get("SPARK_GRAFT_NO_PERSIST", "") == "1"
 
 
 def run_named_pair(s_lo: int, s_hi: int):
@@ -325,6 +392,9 @@ def run_named_pair(s_lo: int, s_hi: int):
         )
         calib0 = calibration_ratios(s_lo, s_hi)
         sres_lo, sres_hi, sens_stats = run_scaling_pair(s_lo, s_hi, BENCH_N)
+        time.sleep(15)  # let the last JVM's shutdown threads/GC settle —
+        # measured: calibrating immediately after spark.stop() skews the
+        # post-round ratios by up to ~0.7 and falsely trips the drift bound
         calib1 = calibration_ratios(s_lo, s_hi)
         time.sleep(90)  # decay our own tail before the one honest reading
         ext1 = round(os.getloadavg()[0], 1)
@@ -381,7 +451,10 @@ def main():
     lo_cores = SCALE_LO
     # primary pair: short tolerant wait so the published headline starts in
     # a window that can pass its own staleness rule
-    wait_quiet_window(LOAD_CEILING, 300)
+    start_load, _, _ = wait_quiet_window(LOAD_CEILING, 300)
+    # quiet-machine ALU reference for suite normalization — only writable
+    # HERE, before our own legs pollute the load picture
+    maybe_write_calib_ref(start_load)
     res_lo, res_hi, eff_stats = run_scaling_pair(lo_cores, SCALE_HI, BENCH_N)
     efficiency = eff_stats["median"]
     # headline staleness gate (VERDICT r3 #8): if even the CLEANEST window
@@ -397,7 +470,7 @@ def main():
     rate_before = _alu_rate(CPUS)
     queries, suite_loads = run_query_suite(SF_DIR)
     rate_after = _alu_rate(CPUS)
-    norm_factor, ref_rate = suite_normalization(rate_before, rate_after, suite_loads)
+    norm_factor, ref_rate = suite_normalization(rate_before, rate_after)
     queries_norm = (
         {k: round(v * norm_factor, 3) for k, v in queries.items() if v >= 0}
         if norm_factor is not None
@@ -414,26 +487,31 @@ def main():
             prev = json.load(open(prev_path))
         except Exception:
             prev = None
+    sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
     deltas = None
-    if prev is not None:
+    if prev is not None and prev.get("sf") == sf_tag:
         base_q = queries_norm or queries
         deltas = {
             k: round(base_q[k] / prev["queries"][k] - 1.0, 3)
             for k in base_q
             if k in prev["queries"] and prev["queries"][k] > 0
         }
-    os.makedirs(os.path.dirname(prev_path), exist_ok=True)
-    json.dump(
-        {
-            "queries": queries_norm or queries,
-            "normalized": queries_norm is not None,
-            "suite_loads": suite_loads,
-        },
-        open(prev_path, "w"),
-    )
+    if not NO_PERSIST:
+        os.makedirs(os.path.dirname(prev_path), exist_ok=True)
+        json.dump(
+            {
+                "queries": queries_norm or queries,
+                "normalized": queries_norm is not None,
+                "sf": sf_tag,
+                "suite_loads": suite_loads,
+            },
+            open(prev_path, "w"),
+        )
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    if NO_PERSIST:
+        md = "/tmp/bench_baseline_dry.md"
     with open(md, "w") as f:
         rounds_fmt = ", ".join(f"{r:.3f}" for r in eff_stats["rounds"])
         n_rounds = len(eff_stats["rounds"])  # incl. adaptive extras (ADVICE r2)
