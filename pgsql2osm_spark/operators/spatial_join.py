@@ -101,6 +101,7 @@ def pip_join(
     refine: str = "udf",
     max_column_edges: int = 64,
     coarse_prefilter: bool = False,
+    max_prefilter_cells: int = 512,
 ) -> DataFrame:
     """points x regions -> rows of points inside each region.
 
@@ -122,16 +123,20 @@ def pip_join(
     automatically take the shuffle-partitioned path (pip_join_partitioned) —
     one entry point, physical strategy chosen from measured cover size.
 
-    ``coarse_prefilter``: add ONE res_lo-ancestor InSet test before the
-    explode — points whose coarse cell is not an ancestor of ANY cover
-    cell (an exact superset of matches) skip the 5x explode and the hash
-    probe entirely. The set is a few hundred longs (L1-resident, pure
-    codegen) and at a 100 TB parquet source this is the right default
-    shape (most of the planet dies before the join). It is OPT-IN because
-    on sources whose generation shares the probe stage (the synthetic
-    bench generator) the extra expression pushes the fused stage past
-    janino's 64KB processNext limit into interpreted fallback — measured
-    1.5-10x slower (BENCH/PLANS.md r4).
+    ``coarse_prefilter``: add ONE coarse-ancestor InSet gate ahead of the
+    multi-res explode — points whose coarse cell is not an ancestor of ANY
+    cover cell (an exact superset of matches) emit a single null row that
+    dies at the join instead of 5 exploded probes. The ancestor set is
+    capped at ``max_prefilter_cells`` by coarsening (a multi-thousand-
+    literal InSet costs minutes of py4j marshalling and bloats codegen).
+    OPT-IN, workload-dependent (r5 measurements, BENCH/PLANS.md): it wins
+    when the per-candidate work downstream dominates (probe/refine-heavy
+    pipelines — the generator-shaped bench decomposition localized its
+    cost there) and is neutral-to-negative on decode-bound light scans
+    where the parquet read is the bottleneck. The implementation is
+    shape-critical: see the in-body comment on why it must be a when-gated
+    explode_outer rather than a .where() (predicate/infer pushdown would
+    re-evaluate the whole cell expression inside the scan, measured 17x).
     """
     # cheap pre-estimate: covers average ~target_cells per region by
     # construction (adaptive_cover_res aims at target_cells), so a huge
@@ -188,12 +193,47 @@ def pip_join(
     cell_cols.update(dict(zip(missing, new_names)))
     refs = [cell_cols[r] for r in res_list]
     if coarse_prefilter:
-        coarse_res = min(res_list)
-        anc = sorted(
-            {int(c) for c in C.cell_parent(cover_pdf["cell"].to_numpy(), coarse_res)}
+        base_res = min(res_list)
+        pre_res = base_res
+        anc = {int(c) for c in C.cell_parent(cover_pdf["cell"].to_numpy(), pre_res)}
+        # cap the InSet size by coarsening: a multi-thousand-literal isin()
+        # spends minutes marshalling Columns through py4j and bloats the
+        # generated code (the v_inset probe OOMed codegen near 4096
+        # entries). Each level up shrinks the set ~4x and keeps the filter
+        # an exact superset of matches.
+        while len(anc) > max_prefilter_cells and pre_res > 1:
+            pre_res -= 1
+            anc = {
+                int(c)
+                for c in C.cell_parent(np.fromiter(anc, dtype=np.int64), pre_res)
+            }
+        pre_col = (
+            F.col(cell_cols[base_res])
+            if pre_res == base_res
+            else C.cell_parent_expr(F.col(cell_cols[base_res]), base_res, pre_res)
         )
-        probe = probe.where(F.col(cell_cols[coarse_res]).isin(anc))
-    probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
+        # WHEN-GATED explode_outer, NOT a .where(): a Filter operator gets
+        # predicate-pushed below the cell projections with the whole
+        # morton-spread subtree SUBSTITUTED into the scan's DataFilters,
+        # re-evaluated per row outside codegen — measured 17x slower at
+        # 20M scan rows. A plain explode is no better: Spark's
+        # InferFiltersFromGenerate infers `size(_arr) > 0` and pushes THAT
+        # into the scan, inlining the same subtree. explode_outer defeats
+        # the inference structurally (empties are kept, so nothing can be
+        # inferred); non-candidates emit ONE null-key row that dies at the
+        # inner join's null check instead of 5 probes — output identical,
+        # scan clean (r5 measurements in BENCH/PLANS.md).
+        probe = (
+            probe.withColumn("_pre", pre_col)
+            .withColumn(
+                "_arr",
+                F.when(F.col("_pre").isin(sorted(anc)), F.array(*refs)),
+            )
+            .withColumn("_cell", F.explode_outer(F.col("_arr")))
+            .drop("_pre", "_arr", *new_names)
+        )
+    else:
+        probe = probe.withColumn("_cell", F.explode(F.array(*refs))).drop(*new_names)
     cand = probe.join(F.broadcast(cov), probe["_cell"] == cov["cell"], "inner")
     # Interior-cell rows pass without the exact test (X2 staging); boundary
     # -cell rows take the exact refine. DEFAULT is refine='udf': the fused
