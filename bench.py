@@ -358,6 +358,15 @@ def suite_normalization(rate_before: float, rate_after: float):
     if ref.get("cpus") != CPUS:
         return None, None
     rate = (rate_before + rate_after) / 2.0
+    # RATCHET the reference to the best capacity ever observed: the ALU
+    # rate swings ~10% with turbo/thermal state, so a single quiet-window
+    # sample can under-read and cap every factor at 1.0 (no correction —
+    # conservative but useless). Tracking the max keeps normalization
+    # meaningful while staying conservative (factor <= 1 by construction).
+    best = max(ref["alu_rate_ref"], rate_before, rate_after)
+    if best > ref["alu_rate_ref"] and not NO_PERSIST:
+        ref["alu_rate_ref"] = best
+        _json.dump(ref, open(CALIB_REF_PATH, "w"))
     factor = min(rate / ref["alu_rate_ref"], 1.0)
     return round(factor, 4), ref["alu_rate_ref"]
 
