@@ -53,7 +53,10 @@ SENS_PAIR = os.environ.get("SPARK_GRAFT_SENS_PAIR", "8,32")
 # calibrations. Validity is about the WINDOW, never the gate value — a
 # valid-window FAIL is published as FAIL (no cherry-picking).
 NAMED_WINDOW_CEILING = float(os.environ.get("SPARK_GRAFT_NAMED_WINDOW_CEILING", "3"))
-NAMED_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_NAMED_WAIT_MAX", "900"))
+# per-attempt wait budget: 240s x 3 attempts bounds the whole-run wait to
+# ~12 min on top of ~13 min of measurement, so an unattended (driver)
+# invocation cannot stall unboundedly waiting for quiet
+NAMED_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_NAMED_WAIT_MAX", "240"))
 NAMED_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_NAMED_ATTEMPTS", "3"))
 # calibration stability bound: ALU/stream ratios measured before/after the
 # rounds drifting more than this means the window shifted mid-run -> invalid
