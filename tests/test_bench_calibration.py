@@ -1,0 +1,43 @@
+"""Bench calibration harness sanity (r5 — the rebuilt _rate_worker).
+
+The r4 harness produced gather ratios as absurd as 17x on a quiet machine
+(no start sync, no warmup, nominal-window division). These tests pin the
+structural fixes at tiny proc counts, cheap enough for the suite; the
+full-scale behavior is exercised by every bench run."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def test_machine_rate_returns_sane_positive_rates():
+    for kind in ("alu", "gather", "stream"):
+        r1 = bench._machine_rate(kind, 1)
+        r2 = bench._machine_rate(kind, 2)
+        assert r1 > 0 and r2 > 0
+        # WIDE sanity band only (this box carries erratic external load and
+        # the suite may run concurrently with anything): 2 synced workers
+        # aggregate somewhere between a badly-contended fraction and a
+        # superlinear-impossible multiple of one worker. Catches the r4
+        # failure class (rates off by 10-30x), not perf regressions.
+        assert 0.25 * r1 < r2 < 4.0 * r1, (kind, r1, r2)
+
+
+def test_suite_normalization_contract(tmp_path, monkeypatch):
+    """Factor <= 1, ratchets the reference up, survives a missing file."""
+    import json
+
+    ref_path = tmp_path / "CALIB.json"
+    monkeypatch.setattr(bench, "CALIB_REF_PATH", str(ref_path))
+    monkeypatch.setattr(bench, "NO_PERSIST", False)
+    assert bench.suite_normalization(1e6, 1e6) == (None, None)  # no ref yet
+    json.dump({"alu_rate_ref": 2e6, "cpus": bench.CPUS}, open(ref_path, "w"))
+    f, ref = bench.suite_normalization(1e6, 1e6)
+    assert f == 0.5 and ref == 2e6
+    f, ref = bench.suite_normalization(4e6, 2e6)  # ratchet to 4e6
+    assert ref == 4e6 and f == min(3e6 / 4e6, 1.0)
+    assert json.load(open(ref_path))["alu_rate_ref"] == 4e6
+    json.dump({"alu_rate_ref": 2e6, "cpus": bench.CPUS + 1}, open(ref_path, "w"))
+    assert bench.suite_normalization(1e6, 1e6) == (None, None)  # cpus mismatch
