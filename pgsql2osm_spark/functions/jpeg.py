@@ -129,7 +129,6 @@ def _zigzag_order() -> np.ndarray:
 
 
 ZIGZAG = _zigzag_order()          # zigzag pos -> row-major idx
-UNZIGZAG = np.argsort(ZIGZAG)     # row-major idx -> zigzag pos
 
 # Orthonormal 8x8 DCT-II matrix: T[u, x] = alpha(u) cos((2x+1) u pi / 16).
 _A = np.zeros((8, 8))
