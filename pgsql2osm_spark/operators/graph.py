@@ -11,8 +11,10 @@ Algorithm: min-label propagation over the symmetrized edge list. Each round
 every vertex takes the minimum label in its closed neighborhood; labels are
 lazily localCheckpoint()ed per round (truncates the growing lineage — any
 iterative algorithm needs this or the plan tree doubles per round) and the
-loop stops at the fixpoint (no label changed) or ``max_iter``. Rounds needed
-= graph diameter; near-dup graphs are shallow (clusters are quasi-cliques).
+loop stops at the fixpoint (no label changed) or ``max_iter``. Each round
+also pointer-jumps (label <- label(label)), so rounds needed are
+O(log diameter), not O(diameter); near-dup graphs are shallow anyway
+(clusters are quasi-cliques) and converge in a handful of rounds.
 For adversarially deep graphs pass method='star': alternating
 large-star/small-star contraction (Kiveris et al., "Connected Components in
 MapReduce and Beyond"), which converges in O(log^2 n) rounds — same join
@@ -35,12 +37,12 @@ def connected_components(
     """(v, component) for every vertex in ``edges``; component = min vertex
     id reachable from v. Deterministic, order-independent (SURVEY.md O1).
 
-    method='label' (default) is min-label propagation — rounds = graph
-    diameter, the right shape for shallow near-dup graphs. method='star' is
-    the alternating large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds on
-    ANY graph, the escape hatch for adversarially deep pair chains (a
-    200-vertex path converges in ~8 star rounds vs 199 label rounds)."""
+    method='label' (default) is min-label propagation with per-round
+    pointer jumping — O(log diameter) rounds, the right shape for near-dup
+    graphs. method='star' is the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log^2 n) rounds with contracting edge volume, the escape
+    hatch when the EDGE SET itself is too large to rejoin every round."""
     if method == "star":
         return _connected_components_star(edges, src, dst, max_iter)
     if method != "label":
@@ -57,38 +59,65 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=False)
     )
-    changed = 0
+    # Convergence detect: labels are MONOTONE (every step takes a min with
+    # the current label, so no label ever increases), hence the exact
+    # decimal sum of labels strictly decreases until the fixpoint and
+    # "sum unchanged" <=> "no label changed". One small agg job per round
+    # replaces the r5 join+count job (same stop condition, half the
+    # actions). decimal(38,0) keeps the sum exact at any vertex count.
+    def _sig(lbl: DataFrame):
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev_sig = _sig(labels)  # also materializes the lazy checkpoints
+    changed = True
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("v", "u"), "u")
             .groupBy("v")
             .agg(F.min("label").alias("nlabel"))
         )
+        cand = labels.join(neighbor_min, "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+        )
+        # Pointer jump (path doubling): every label IS a vertex id in the
+        # same component, so label(label(v)) is also a reachable-min bound.
+        # Shortcutting through it after each propagation round makes chain
+        # components converge in O(log diameter) rounds instead of
+        # O(diameter) — same monotone lattice, same fixpoint (at the
+        # fixpoint label(label)=label), so the output is identical.
         new_labels = (
-            labels.join(neighbor_min, "v", "left")
+            cand.alias("a")
+            .join(
+                cand.select(
+                    F.col("v").alias("_lv"), F.col("label").alias("_ll")
+                ).alias("b"),
+                F.col("a.label") == F.col("_lv"),
+                "left",
+            )
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        sig = _sig(new_labels)
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
+            changed = False
             break
-    if changed != 0:
+        prev_sig = sig
+    if changed:
         # silently returning partially-propagated labels would split true
         # components (and dedup_clusters would keep duplicate representatives)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing — graph diameter exceeds "
-            "max_iter; raise it, or use a star-contraction variant for "
-            "adversarially deep graphs)"
+            "(labels still changing — with pointer jumping that implies "
+            "diameter > 2^max_iter; raise max_iter, or use method='star')"
         )
     return labels.select(F.col("v"), F.col("label").alias("component"))
 
