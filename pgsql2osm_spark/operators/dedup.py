@@ -267,6 +267,7 @@ def simhash_fast_col(text: str = "text") -> F.Column:
 def _banded_hamming_pairs(
     hashed: DataFrame, hash_col: str, id_col: str, max_hamming: int, total_bits: int = 64,
     max_bucket: int | None = 65536, log_shed: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Complete near-dup candidate generation for ``total_bits``-wide hashes:
     bucket on max_hamming+1 disjoint bit bands and union the per-band bucket
@@ -292,54 +293,97 @@ def _banded_hamming_pairs(
     exact_dedup). Pass None to restore unconditional completeness.
 
     ``log_shed=True`` additionally counts the shed buckets per band and
-    emits a WARNING when any were dropped (one extra small aggregate job per
-    band — opt-in, per the repo's no-silent-caps convention)."""
+    emits a WARNING when any were dropped (one extra small aggregate job —
+    opt-in, per the repo's no-silent-caps convention).
+
+    ``group_col`` names an optional pre-existing column that must ALSO match
+    for rows to be candidates (e.g. an LSH table index when the caller
+    unions several independent hash tables into one input) — it simply
+    joins the band key, so multi-table candidate generation still costs the
+    same SINGLE self-join.
+
+    Physical shape (r6): ONE self-join on the exploded (band_idx,
+    band_value) key instead of one join per band. The union-of-joins form
+    cost n_bands shuffles of each side plus n_bands bucket-cap aggregates
+    (44-72 Exchange nodes in the simhash/embedding plans); exploding the
+    band index into the join key is set-identical (matching in band i ==
+    equal (i, value) keys) and leaves ONE shuffle per side over the same
+    total rows (n_bands rows per doc), one cap aggregate, one join —
+    plan-verified 44 -> 14 Exchanges on simhash_near_dups."""
     n_bands = max_hamming + 1
     if total_bits < n_bands:
         raise ValueError(f"need >= {n_bands} bits for hamming radius {max_hamming}")
     band_bits = total_bits // n_bands
-    # evaluate the hash expression once: it feeds 2 join sides x n_bands
-    # branches, and any UDF inside it (simhash fold, LSH signature) would
-    # re-run per occurrence otherwise
-    hashed = hashed.select(F.col(id_col), F.col(hash_col)).localCheckpoint(eager=False)
-    pairs = None
+    extra = [group_col] if group_col else []
+    # evaluate the hash expression once: it feeds both join sides and the
+    # bucket-cap aggregate, and any UDF inside it (simhash fold, LSH
+    # signature) would re-run per occurrence otherwise
+    hashed = hashed.select(*extra, F.col(id_col), F.col(hash_col)).localCheckpoint(
+        eager=False
+    )
+    # band values as PROJECTED columns first, explode only struct-of-refs:
+    # Generate evaluates its expressions interpreted (see the explode rule
+    # in spatial_join.pip_join)
+    h = hashed
     for i in range(n_bands):
         width = band_bits if i < n_bands - 1 else total_bits - band_bits * (n_bands - 1)
         shifted = F.shiftrightunsigned(F.col(hash_col), i * band_bits)
         band = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
-        h = hashed.select(F.col(id_col), F.col(hash_col)).withColumn("_band", band)
-        if max_bucket is not None:
-            oversized = (
-                h.groupBy("_band")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > max_bucket)
-                .select("_band")
-            )
-            # tiny by construction (each entry stands for > max_bucket rows):
-            # broadcast anti-join, the banded side never shuffles
-            if log_shed:
-                n_shed = oversized.count()
-                if n_shed:
-                    _LOG.warning(
-                        "%s band %d: shed %d bucket(s) larger than max_bucket=%d "
-                        "(recall is conditional for rows confined to shed buckets)",
-                        hash_col, i, n_shed, max_bucket,
-                    )
-            h = h.join(F.broadcast(oversized), ["_band"], "left_anti")
-        a, b = h.alias("a"), h.alias("b")
-        cand = a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))).alias(
-                "hamming"
+        h = h.withColumn(f"_band{i}", band)
+    h = (
+        h.withColumn(
+            "_b",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"), F.col(f"_band{i}").alias("bv")
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
             ),
         )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+        .select(
+            *extra,
+            F.col(id_col),
+            F.col(hash_col),
+            F.col("_b.bi").alias("_bi"),
+            F.col("_b.bv").alias("_bv"),
+        )
+    )
+    key = [*extra, "_bi", "_bv"]
+    if max_bucket is not None:
+        oversized = (
+            h.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select(*key)
+        )
+        # tiny by construction (each entry stands for > max_bucket rows):
+        # broadcast anti-join, the banded side never shuffles
+        if log_shed:
+            shed = oversized.groupBy("_bi").agg(F.count(F.lit(1)).alias("_n")).collect()
+            for r in shed:
+                _LOG.warning(
+                    "%s band %d: shed %d bucket(s) larger than max_bucket=%d "
+                    "(recall is conditional for rows confined to shed buckets)",
+                    hash_col, r["_bi"], r["_n"], max_bucket,
+                )
+        h = h.join(F.broadcast(oversized), key, "left_anti")
+    a, b = h.alias("a"), h.alias("b")
+    cand = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))).alias(
+            "hamming"
+        ),
+    )
+    return cand.where(F.col("hamming") <= max_hamming).distinct()
 
 
 def simhash_near_dups(

@@ -287,16 +287,24 @@ def embedding_near_dups(
     from .dedup import _banded_hamming_pairs
 
     c = corpus.select(F.col(corpus_id), F.col(vec_col))
-    cand = None
+    # All tables' signatures feed ONE banded self-join: each table's rows
+    # carry a table index that joins the band key (group_col), so candidate
+    # generation costs one shuffle join total instead of one per table per
+    # band (6 joins -> 1 for the defaults; plan-verified 72 -> 18
+    # Exchanges). Set-identical: rows only pair within their own table's
+    # bands, exactly as the former per-table union.
+    sigs = None
     for t in range(n_tables):
         sig = lsh_signature_udf(dim, n_planes, seed=seed + t)
-        sigd = c.withColumn("_sig", sig(F.col(vec_col))).select(F.col(corpus_id), "_sig")
-        part = _banded_hamming_pairs(
-            sigd, "_sig", corpus_id, max_hamming,
-            total_bits=n_planes, max_bucket=max_bucket,
-        ).select("id_a", "id_b")
-        cand = part if cand is None else cand.unionByName(part)
-    cand = cand.distinct()
+        sigd = (
+            c.withColumn("_sig", sig(F.col(vec_col)))
+            .select(F.lit(t).alias("_t"), F.col(corpus_id), "_sig")
+        )
+        sigs = sigd if sigs is None else sigs.unionByName(sigd)
+    cand = _banded_hamming_pairs(
+        sigs, "_sig", corpus_id, max_hamming,
+        total_bits=n_planes, max_bucket=max_bucket, group_col="_t",
+    ).select("id_a", "id_b").distinct()
     a = c.select(F.col(corpus_id).alias("id_a"), F.col(vec_col).alias("_va"))
     b = c.select(F.col(corpus_id).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
