@@ -76,12 +76,27 @@ def export_rows(
     # lat/lon rounded to 10 decimals on output — reference parity trap
     # (pgsql2osm.py:780-782, SURVEY.md §5.5 / F4)
     coords = coordinates.select(
-        "id", F.round("lon", 10).alias("lon"), F.round("lat", 10).alias("lat")
+        "id",
+        F.round("lon", 10).alias("lon"),
+        F.round("lat", 10).alias("lat"),
+        F.lit(True).alias("_has_coord"),
     )
-    nodes = rows.where(F.col("kind") == "N").join(coords, "id", "inner")
-    others = (
-        rows.where(F.col("kind") != "N")
-        .withColumn("lon", F.lit(None).cast("double"))
-        .withColumn("lat", F.lit(None).cast("double"))
+    # ONE pass over the cascade output: the former kind=='N' / kind!='N'
+    # branch pair duplicated the priority-cascade subtree per union branch
+    # (ReusedExchange dedups the shuffles at runtime, but the narrow
+    # operators above them still run twice and the plan carries both
+    # copies — 36 -> 26 Exchange nodes on the export_pipeline fixture). A
+    # single left join keyed on id, gated on kind=='N' inside the join
+    # condition, plus the _has_coord indicator reproduces the exact
+    # semantics: N rows missing from ``coordinates`` are dropped (J10
+    # silent-drop — the indicator distinguishes "no match" from any null
+    # coordinate value), W/R rows pass through with NULL coordinates and
+    # never pay the join probe.
+    joined = rows.join(
+        coords,
+        (rows["id"] == coords["id"]) & (rows["kind"] == F.lit("N")),
+        "left",
     )
-    return nodes.unionByName(others)
+    return joined.where(
+        (F.col("kind") != "N") | F.col("_has_coord").isNotNull()
+    ).select(rows["kind"], rows["id"], rows["tags"], "lon", "lat")
