@@ -340,6 +340,7 @@ def funnel_flags(
     total_target: int = 60,
     contam_n: int = 8,
     rep_n: int = 3,
+    contam_max_broadcast_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """Per-document survivor flags for the FULL curation funnel on ONE
     lineage (VERDICT r3 #7 composition, extracted to the library r5 so the
@@ -354,7 +355,10 @@ def funnel_flags(
 
     Scale shape: every flag is a projected column over a single corpus
     scan; the only side inputs are the tiny contaminated id set (broadcast
-    left join; NOTE constructing it runs the documented eager count probe)
+    left join; NOTE constructing it runs the documented eager count probe
+    unless ``contam_max_broadcast_grams=None`` vouches the benchmark gram
+    set is broadcastable — callers with by-construction-small benchmarks
+    should pass None and skip that job)
     and the per-domain thresholds (small agg over stage-7 survivors off a
     lazy localCheckpoint, broadcast back). The one wide shuffle is the
     exact-dedup fingerprint window — the same shuffle exact_dedup needs."""
@@ -369,7 +373,10 @@ def funnel_flags(
         feats.withColumn("_dup_rank", F.row_number().over(w)), n=rep_n
     ).withColumn("pii_clean", pii_clean_col())
     if benchmark is not None:
-        cont = contaminated_ids(docs, benchmark, n=contam_n)
+        cont = contaminated_ids(
+            docs, benchmark, n=contam_n,
+            max_broadcast_grams=contam_max_broadcast_grams,
+        )
         flags = flags.join(
             F.broadcast(cont.withColumn("_contam", F.lit(True))), "doc_id", "left"
         ).withColumn("contaminated", F.coalesce("_contam", F.lit(False)))
