@@ -350,7 +350,12 @@ def pip_join_partitioned(
     """
     out_cols = keep_cols or list(points.columns)
     cover = cover_df if cover_df is not None else (
-        build_cover_df(regions_df, res_lo, res_hi, target_cells).localCheckpoint()
+        # lazy: the probe aggregate below is the first action and
+        # materializes the checkpoint — an eager one would pay a separate
+        # rasterization job before it
+        build_cover_df(regions_df, res_lo, res_hi, target_cells).localCheckpoint(
+            eager=False
+        )
     )
     # ONE probe job yields both the distinct resolutions and the total cell
     # count. The count matters because a checkpointed cover has no Catalyst
