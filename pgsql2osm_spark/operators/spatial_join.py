@@ -223,11 +223,16 @@ def pip_join(
         # inferred); non-candidates emit ONE null-key row that dies at the
         # inner join's null check instead of 5 probes — output identical,
         # scan clean (r5 measurements in BENCH/PLANS.md).
+        # ONE py4j call for the whole InSet: Column.isin marshals one
+        # literal per round trip (~0.4s of driver wall at 512 entries,
+        # profiled r6); a server-side-parsed IN expression builds the same
+        # In/InSet predicate in a single call.
+        in_list = ",".join(str(int(c)) for c in sorted(anc))
         probe = (
             probe.withColumn("_pre", pre_col)
             .withColumn(
                 "_arr",
-                F.when(F.col("_pre").isin(sorted(anc)), F.array(*refs)),
+                F.when(F.expr(f"_pre IN ({in_list})"), F.array(*refs)),
             )
             .withColumn("_cell", F.explode_outer(F.col("_arr")))
             .drop("_pre", "_arr", *new_names)
