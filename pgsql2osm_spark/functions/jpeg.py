@@ -223,7 +223,19 @@ class _BitReader:
         """Consume an RSTn marker and realign to the byte boundary."""
         self.acc = 0
         self.n = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+        if self.marker is None:
+            # At a restart boundary the reader may still hold the encoder's
+            # pad bits (or sit exactly byte-aligned) WITHOUT ever having
+            # _fill()ed into the marker, so self.marker is unset; peek and
+            # consume the RSTn directly — otherwise the next _fill stops at
+            # the marker forever and every MCU after the first restart
+            # interval decodes as zeros (ADVICE r5, reproduced with a
+            # 2-MCU DRI=1 fixture in tests/test_imaging.py).
+            d, p = self.data, self.pos
+            if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos += 2
+            return
+        if 0xD0 <= self.marker <= 0xD7:
             self.pos += 2  # skip FF Dn
             self.marker = None
 
@@ -444,6 +456,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill
+        # bytes — skip them, else the walk reads 0xFF as the marker code
+        # and desynchronizes on the bogus length field (ADVICE r5)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:               # EOI
             break

@@ -139,3 +139,68 @@ def test_fixture_pixel_parity():
             assert I.psnr_db(src, dec) >= 40.0
         assert row["caption"].startswith("caption ")
         assert I.phash64(dec) == row["phash"]
+
+
+def _split_jfif(data: bytes):
+    """(header_upto_end_of_SOS_payload, entropy_bytes) of a single-scan JFIF."""
+    import struct
+
+    pos = 2
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xDA:  # SOS
+            head_end = pos + 2 + ln
+            assert data[-2:] == b"\xff\xd9"
+            return data[:head_end], data[head_end:-2]
+        pos += 2 + ln
+    raise AssertionError("no SOS")
+
+
+def test_jpeg_dri_restart_roundtrip():
+    """DRI/RSTn decode (ADVICE r5 high): a 2-MCU stream with DRI=1 must
+    decode BOTH MCUs — the pre-fix reader never consumed the RSTn when the
+    restart boundary arrived without a prior marker-stopping _fill, and
+    every MCU after the first interval decoded as zeros.
+
+    Fixture: two 8x8 tiles encoded separately (independent DC prediction,
+    byte-aligned — exactly a restart interval's properties), spliced into
+    one 16-wide stream with a DRI=1 segment and an RST0 between them."""
+    import struct
+
+    from pgsql2osm_spark.functions import jpeg as J
+
+    px = rng.integers(0, 256, (8, 16, 3)).astype(np.uint8)
+    e1 = J.jpeg_encode(px[:, :8], quality=92)
+    e2 = J.jpeg_encode(px[:, 8:], quality=92)
+    head, ent1 = _split_jfif(e1)
+    _, ent2 = _split_jfif(e2)
+    # patch SOF0 width 8 -> 16 in the shared header
+    sof = head.index(b"\xff\xc0")
+    head = bytearray(head)
+    (w,) = struct.unpack(">H", head[sof + 7 : sof + 9])
+    assert w == 8
+    head[sof + 7 : sof + 9] = struct.pack(">H", 16)
+    # insert DRI=1 right before SOS
+    sos = bytes(head).index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    stream = bytes(head[:sos]) + dri + bytes(head[sos:]) + ent1 + b"\xff\xd0" + ent2 + b"\xff\xd9"
+    dec = J.jpeg_decode(stream)
+    ref1 = J.jpeg_decode(e1)
+    ref2 = J.jpeg_decode(e2)
+    assert (dec[:, :8] == ref1).all()
+    assert (dec[:, 8:] == ref2).all()  # pre-fix: MCU 2 came back corrupted
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 fill bytes (ADVICE r5 low): extra 0xFF padding before a
+    marker must not desynchronize the segment walk."""
+    from pgsql2osm_spark.functions import jpeg as J
+
+    px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    data = J.jpeg_encode(px, quality=92)
+    ref = J.jpeg_decode(data)
+    sof = data.index(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert (J.jpeg_decode(padded) == ref).all()
