@@ -94,7 +94,7 @@ def pip_join(
     lat: str = "lat",
     res_lo: int = 7,
     res_hi: int = 11,
-    target_cells: int = 128,
+    target_cells: int = 4096,
     keep_cols: list[str] | None = None,
     cell_cols: dict[int, str] | None = None,
     max_broadcast_cells: int = 2_000_000,
@@ -117,17 +117,6 @@ def pip_join(
     Returns the point columns (or ``keep_cols``) + ``region_id``. A point in
     k overlapping regions yields k rows (nested admin levels do overlap, as
     in the reference's relation hierarchy).
-
-    ``target_cells`` trades broadcast-relation size against exact-refine
-    volume. Default 128 cells/region (r6, was 4096): keeps the probed hash
-    relation L1/L2-resident per core — the r5 stage decomposition localized
-    the headline's non-scaling term in the broadcast-hash probes, and
-    shrinking the relation measured equal-or-better absolute wall with a
-    better 8->32 scaling ratio — and caps a 10k-region cover at ~1.3M
-    entries (~26 MB) instead of 41M (an implausible broadcast). The cost is
-    coarser covers => more boundary-cell candidates through the exact
-    refine; raise it for refine-dominated workloads (huge points-per-region
-    density with expensive keep_cols).
 
     Dispatch: region sets whose cover exceeds ``max_broadcast_cells`` (or
     whose size makes even building the cover on the driver unreasonable)
@@ -336,7 +325,7 @@ def pip_join_partitioned(
     lat: str = "lat",
     res_lo: int = 7,
     res_hi: int = 11,
-    target_cells: int = 128,
+    target_cells: int = 4096,
     keep_cols: list[str] | None = None,
     cell_cols: dict[int, str] | None = None,
     cover_df: DataFrame | None = None,
